@@ -1,0 +1,58 @@
+"""Pipeline configuration.
+
+Mirrors the reference's tunables (dpi / chunk_size / top_k kwargs —
+see SURVEY.md §2.10) plus the engine-new scale knobs (partition count,
+batch sizes, actor-pool sizes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- routing (reference semantics) ---
+    # Strict > threshold on whitespace-stripped page-text length
+    # (reference: core_document_processing.py:73-76).
+    text_layer_threshold: int = 250
+
+    # --- partitioning / checkpoint ---
+    # Deterministic partition id = md5(url) % num_partitions; independent of
+    # cluster size / num_blocks so resume survives parallelism changes
+    # (SURVEY.md §7 hard part 5). At 100 TB you'd raise this to ~10^5.
+    num_partitions: int = 64
+
+    # --- skew handling ---
+    # size_class boundaries on payload bytes; XL docs get their own parse
+    # pool with batch_size=1 so one 300-page PDF never stalls a batch.
+    size_small: int = 8 * 1024
+    size_medium: int = 64 * 1024
+    size_large: int = 1024 * 1024
+
+    # --- stage sizing ---
+    sniff_batch_size: int = 4096
+    extract_batch_size: int = 64  # docs per parse batch (heavy stage -> small)
+    extract_batch_size_xl: int = 1
+    ocr_batch_size: int = 32  # pages per OCR batch
+    ocr_concurrency: int = 4  # OCR actor-pool size
+    combine_num_blocks: int | None = None  # post-shuffle block count (None -> Ray default)
+
+    # --- combine semantics ---
+    # "numeric" sorts pages by page_no (core_document_generator.py:157-185);
+    # "lex" reproduces the reference's lexicographic filename-sort quirk
+    # (combine_texts.py:20 -> page_1, page_10, page_11, ..., page_2).
+    combine_order: str = "numeric"
+    # Separator between pages when reassembling a document. The flagship
+    # pipeline uses "\n" (1 char, keeps extracted text byte-aligned with the
+    # source); reference-style header separators are exposed by
+    # stages/combine.py as combine_reference_style().
+    page_separator: str = "\n"
+
+    # --- output ---
+    output_dir: str | None = None  # when set, run_checkpointed writes here
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,1 @@
+"""Scalar / vectorized functions used inside ``map_batches`` stages."""

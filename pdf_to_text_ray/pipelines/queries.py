@@ -1,0 +1,590 @@
+"""Driver-facing query registry: one callable per operator/pipeline
+(SURVEY.md §2 inventory + training-data ops), each paired — where
+SQL-expressible — with a DuckDB oracle in ORACLE_SQL.
+
+Column names AND types match the SQL exactly (the driver's compare
+sorts columns by name and hashes values). Ratios/divisions are emitted
+as raw int/int IEEE divisions (bit-identical between Python and
+DuckDB); cosine similarities are computed in float64 on both sides and
+rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import DEFAULT_CONFIG
+from ..functions import scalar
+from ..stages import dedup as dedup_mod
+from ..stages import textstats
+from ..stages.combine import combine_page_headers, combine_reference_lex
+from ..stages.similarity import ann_topk, lsh_topk
+from ..stages.sniff import make_sniffer
+from ..stages.summarize import summarize_batch
+from ..pdfgen import paginate
+from .extract import pages_pipeline, run_extraction, synthesize_docs
+
+WORDS_PER_PAGE = 60  # keep in sync with sources/synth.py
+
+
+def _read_documents(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+
+# ---------------------------------------------------------------- e2e
+
+def q_extract_e2e(sf_dir: str):
+    """Flagship: synthesized CC corpus -> sniff -> extract -> OCR ->
+    dedup -> combine. Text is compared whitespace-normalized (the
+    pipeline's page/line separators replace single spaces 1:1, so
+    n_chars still checks raw byte length); full byte-identity incl.
+    newlines is pinned by the pytest golden suite."""
+    ds = run_extraction(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": pc.replace_substring(t["text"], "\n", " "),
+                "doc_type": t["doc_type"],
+                "lang": t["lang"],
+                "n_pages": t["n_pages"],
+                "n_chars": t["n_chars"],
+                "parse_ok": t["parse_ok"],
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_E2E_BASE = """
+WITH base AS (
+  SELECT doc_id, text, lang, doc_id % 10 AS cls,
+         length(regexp_extract_all(text, '\\S+')) AS nwords
+  FROM documents
+), expected AS (
+  SELECT
+    'https://site-' || CAST(doc_id % 20 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN cls = 9 THEN '' ELSE text END AS text,
+    CASE WHEN cls <= 5 THEN 'html'
+         WHEN cls <= 8 THEN 'pdf'
+         ELSE 'unknown' END AS doc_type,
+    lang,
+    CAST(CASE WHEN cls <= 5 THEN 1
+              WHEN cls <= 8 THEN CAST(ceil(nwords / 60.0) AS INTEGER)
+              ELSE 0 END AS INTEGER) AS n_pages,
+    CAST(CASE WHEN cls = 9 THEN 0 ELSE length(text) END AS BIGINT) AS n_chars,
+    (cls <> 9) AS parse_ok
+  FROM base
+)
+"""
+
+SQL_EXTRACT_E2E = _E2E_BASE + "SELECT * FROM expected"
+
+
+def q_extraction_metrics(sf_dir: str):
+    """Grouped extraction metrics (the engine's A7 counters analogue)."""
+    ds = run_extraction(sf_dir)
+    out = ds.groupby("doc_type").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Sum("parse_failures", alias_name="n_failed_pages"),
+    )
+    return out
+
+
+SQL_EXTRACTION_METRICS = _E2E_BASE + """
+SELECT doc_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_failed_pages
+FROM expected GROUP BY doc_type
+"""
+
+
+def q_sniff_doc_types(sf_dir: str):
+    """Byte-sniffer route distribution over the raw crawl (includes the
+    stale dup rows — sniffing runs before dedup)."""
+    docs = synthesize_docs(sf_dir)
+    ds = docs.map_batches(
+        make_sniffer(DEFAULT_CONFIG), batch_format="pyarrow", batch_size=4096
+    )
+    return ds.groupby("doc_type").aggregate(Count(alias_name="n"))
+
+
+SQL_SNIFF_DOC_TYPES = """
+SELECT CASE WHEN doc_id % 10 <= 5 THEN 'html'
+            WHEN doc_id % 10 <= 8 THEN 'pdf'
+            ELSE 'unknown' END AS doc_type,
+       CAST(sum(CASE WHEN doc_id % 10 = 2 THEN 2 ELSE 1 END) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_route_counts(sf_dir: str):
+    """Per-page route distribution (dom / text_layer / ocr / none).
+    The text_layer-vs-ocr split depends on the 250-char router over
+    per-page content — pinned by pytest; rows-only check here."""
+    pages = pages_pipeline(synthesize_docs(sf_dir), DEFAULT_CONFIG)
+    return pages.groupby("route").aggregate(Count(alias_name="n"))
+
+
+# ------------------------------------------------------ scalar textops
+
+def q_normalize_text(sf_dir: str):
+    ds = _read_documents(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": pa.array(
+                    [scalar.normalize_text(x) for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    lower(text), '-\\s*\\n\\s*', '', 'g'), '\\n\\s*\\n+', chr(10), 'g'),
+    '[•◦·▪▶►✓✔~]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def q_clean_text(sf_dir: str):
+    ds = _read_documents(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean": pa.array(
+                    [scalar.clean_text(x) for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CLEAN_TEXT = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_replace(regexp_replace(text,
+    '[^\\x00-\\x7F]+', ' ', 'g'),
+    'http\\S+|www\\S+', '', 'g'),
+    '\\S+@\\S+', '', 'g'),
+    '([!?.,]){2,}', '\\1', 'g'),
+    '[^a-zA-Z0-9\\s\\.\\?\\!]', ' ', 'g'),
+    '\\s+', ' ', 'g')) AS clean
+FROM documents
+"""
+
+
+def q_ocr_whitelist(sf_dir: str):
+    ds = _read_documents(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cleaned": pa.array(
+                    [
+                        scalar.ocr_whitelist_clean(x)
+                        for x in t["text"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_OCR_WHITELIST = """
+SELECT doc_id,
+  trim(regexp_replace(text, '[^A-Za-z0-9.,!?;:''"\\\\\\-\\s]', '', 'g')) AS cleaned
+FROM documents
+"""
+
+
+# ---------------------------------------------------------- combiners
+
+def _paginate_combine(fn_combine):
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t["text"].to_pylist():
+            out.append(fn_combine(paginate(text, WORDS_PER_PAGE)))
+        return pa.table({"doc_id": t["doc_id"], "combined": pa.array(out, pa.string())})
+
+    return fn
+
+
+def q_combine_pages_ref(sf_dir: str):
+    """Streamlit-path combine: numeric order + PAGE headers
+    (core_document_generator.py:185-187)."""
+    return _read_documents(sf_dir).map_batches(
+        _paginate_combine(combine_page_headers), batch_format="pyarrow"
+    )
+
+
+_SQL_PAGES_CTE = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\\S+')) AS word,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+  FROM documents
+), pages AS (
+  SELECT doc_id, CAST((ord - 1) // 60 AS INTEGER) AS pno,
+         string_agg(word, ' ' ORDER BY ord) AS ptext
+  FROM words GROUP BY doc_id, CAST((ord - 1) // 60 AS INTEGER)
+)
+"""
+
+SQL_COMBINE_PAGES_REF = _SQL_PAGES_CTE + """
+SELECT doc_id,
+  string_agg(chr(10) || chr(10) || '--- PAGE ' || CAST(pno + 1 AS VARCHAR)
+             || ' ---' || chr(10) || chr(10) || ptext, '' ORDER BY pno) AS combined
+FROM pages GROUP BY doc_id
+"""
+
+
+def q_combine_pages_lex(sf_dir: str):
+    """Batch-CLI combine with the reference's lexicographic
+    filename-order quirk (combine_texts.py:20)."""
+
+    def combine(pages):
+        named = [(f"page_{i + 1}.txt", t) for i, t in enumerate(pages)]
+        return combine_reference_lex(named)
+
+    return _read_documents(sf_dir).map_batches(
+        _paginate_combine(combine), batch_format="pyarrow"
+    )
+
+
+SQL_COMBINE_PAGES_LEX = _SQL_PAGES_CTE + """
+SELECT doc_id,
+  string_agg(chr(10) || chr(10) || '---- page_' || CAST(pno + 1 AS VARCHAR)
+             || '.txt ----' || chr(10) || chr(10) || ptext || chr(10)
+             || repeat('=', 50) || chr(10),
+             '' ORDER BY 'page_' || CAST(pno + 1 AS VARCHAR) || '.txt') AS combined
+FROM pages GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------- dedup
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup keep-first over a deliberately duplicated corpus
+    (documents ∪ documents)."""
+    ds = _read_documents(sf_dir)
+    return dedup_mod.exact_dedup(ds.union(ds))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS md5_hash,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM documents)
+GROUP BY md5(text)
+"""
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup pairs verified by true Jaccard ≥ 0.8.
+    Not SQL-expressible — determinism pinned by pytest."""
+    ds = _read_documents(sf_dir)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    return dedup_mod.minhash_near_dups(ds, ray.put(texts))
+
+
+def q_simhash_near_dups(sf_dir: str):
+    return dedup_mod.simhash_near_dups(_read_documents(sf_dir))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard of every doc vs 10 broadcast probe docs."""
+    probes = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()[:10]
+    }
+    return _read_documents(sf_dir).map_batches(
+        dedup_mod.NgramJaccardScorer,
+        fn_constructor_kwargs={"probes_ref": ray.put(probes), "threshold": 0.2},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+
+
+# ----------------------------------------------------------- textstats
+
+def q_token_stats(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(
+        textstats.token_stats_batch, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(
+        textstats.quality_batch, batch_format="pyarrow"
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in textstats.STOP_SMALL)
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    regexp_extract_all(text, '\\S+') AS toks,
+    regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN length(toks) = 0 THEN 0.0
+       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+            / CAST(length(toks) AS BIGINT) END AS mean_word_len,
+  CASE WHEN length(words) = 0 THEN 0.0
+       ELSE CAST(length(list_filter(words, w -> w IN ({_STOP_SQL}))) AS BIGINT)
+            / CAST(length(words) AS BIGINT) END AS stop_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+            / CAST(length(text) AS BIGINT) END AS alpha_ratio
+FROM t
+"""
+
+
+def q_lang_id(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(
+        textstats.lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def _lang_count_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+    return (
+        f"length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),"
+        f" w -> w IN ({markers})))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_lang_count_sql('en')} AS s_en,
+    {_lang_count_sql('de')} AS s_de,
+    {_lang_count_sql('fr')} AS s_fr,
+    {_lang_count_sql('es')} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS marker_hits
+FROM s
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read_documents(sf_dir).map_batches(
+        textstats.fingerprint_batch, batch_format="pyarrow"
+    )
+    # uint64 simhash + winnow size are pytest-pinned; SQL checks md5
+    return ds.select_columns(["doc_id", "md5_hash"])
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS md5_hash FROM documents"
+
+
+# ---------------------------------------------------------- similarity
+
+def _query_vectors(sf_dir: str, n: int = 5) -> dict:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = {}
+    for r in t.to_pylist():
+        if r["vec_id"] < n:
+            out[r["vec_id"]] = r["embedding"]
+    return out
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 of 5 broadcast query vectors over the
+    candidate set (vec_id >= 5)."""
+    queries_ref = ray.put(_query_vectors(sf_dir, 5))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], pa.scalar(5))),
+        batch_format="pyarrow",
+    )
+    return ann_topk(ds, queries_ref, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(q.qe, c.e), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, c.e) DESC, c.vec_id
+         ) AS rank
+  FROM q CROSS JOIN c
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10
+"""
+
+
+def q_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate variant (scale path) — rows-only check;
+    recall vs the brute-force baseline is asserted in pytest."""
+    qv = _query_vectors(sf_dir, 5)
+    dim = len(next(iter(qv.values())))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], pa.scalar(5))),
+        batch_format="pyarrow",
+    )
+    return lsh_topk(ds, ray.put(qv), dim=dim, k=10, n_planes=4)
+
+
+# -------------------------------------------------------------- events
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window count per user — partial aggregation
+    inside map_batches (one row per (user, hour) per batch), then a
+    small groupby over the partials (the pre-agg pattern)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        bucket = df["ts"].astype("int64") // 3_600_000_000
+        g = (
+            df.assign(hour_bucket=bucket)
+            .groupby(["user_id", "hour_bucket"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        return pa.Table.from_pandas(
+            g.astype(
+                {"user_id": "int64", "hour_bucket": "int64", "n_events": "int64"}
+            ),
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["user_id", "hour_bucket"]).aggregate(
+        Sum("n_events", alias_name="n_events")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------- summarize
+
+def q_summarize(sf_dir: str):
+    """Centrality top-3 extractive summary per document
+    (summarizer_extractive.py semantics, deterministic BoW embedding).
+    Not SQL-expressible — rows-only check; pinned by pytest."""
+    return _read_documents(sf_dir).map_batches(
+        summarize_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------- registries
+
+QUERIES = {
+    "extract_e2e": q_extract_e2e,
+    "extraction_metrics": q_extraction_metrics,
+    "sniff_doc_types": q_sniff_doc_types,
+    "route_counts": q_route_counts,
+    "normalize_text": q_normalize_text,
+    "clean_text": q_clean_text,
+    "ocr_whitelist": q_ocr_whitelist,
+    "combine_pages_ref": q_combine_pages_ref,
+    "combine_pages_lex": q_combine_pages_lex,
+    "dedup_exact": q_dedup_exact,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lsh_topk": q_lsh_topk,
+    "events_hourly": q_events_hourly,
+    "summarize": q_summarize,
+}
+
+ORACLE_SQL = {
+    "extract_e2e": SQL_EXTRACT_E2E,
+    "extraction_metrics": SQL_EXTRACTION_METRICS,
+    "sniff_doc_types": SQL_SNIFF_DOC_TYPES,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "clean_text": SQL_CLEAN_TEXT,
+    "ocr_whitelist": SQL_OCR_WHITELIST,
+    "combine_pages_ref": SQL_COMBINE_PAGES_REF,
+    "combine_pages_lex": SQL_COMBINE_PAGES_LEX,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    "events_hourly": SQL_EVENTS_HOURLY,
+}

@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard.
+
+Scale shapes (per the Ray guide / SUR­VEY plan):
+
+* exact: vectorized content-hash column in ``map_batches`` →
+  ``groupby(hash)`` keep-first — hash-partitioned, no driver state.
+* MinHash-LSH near-dup: signatures per batch → explode to
+  (band_key, doc_id) rows → ``groupby(band_key)`` emits candidate
+  pairs → verify Jaccard per pair → keep the smaller doc_id of each
+  verified pair as the duplicate. Only band *buckets*, never the
+  corpus, are materialized per group.
+* SimHash: 64-bit signature, candidates via banded 16-bit chunks,
+  verified by Hamming distance.
+
+Everything is deterministic (fixed seeds, md5-derived hashes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..functions.hashing import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    md5_hex,
+    shingles,
+    simhash64,
+)
+
+
+# ---------- exact dedup ----------
+
+def add_md5_batch(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "md5_hash",
+        pa.array([md5_hex(t) for t in batch["text"].to_pylist()], pa.string()),
+    )
+
+
+def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep the first (min doc_id) row per exact text hash.
+
+    -> (md5_hash, doc_id, n_copies)
+    """
+    hashed = ds.map_batches(add_md5_batch, batch_format="pyarrow")
+    return hashed.groupby("md5_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+
+
+# ---------- MinHash + LSH ----------
+
+NUM_PERM = 64
+NUM_BANDS = 16
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.8
+
+
+class MinHashStage:
+    """Actor-pool stage: MinHasher built once per actor (permutation
+    tables are state — ST-style setup per SURVEY §2.3)."""
+
+    def __init__(self, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS):
+        self._mh = MinHasher(num_perm=num_perm)
+        self._bands = num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_keys = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sig = self._mh.signature(text, SHINGLE_K)
+            for key in self._mh.band_keys(sig, self._bands):
+                doc_ids.append(did)
+                band_keys.append(key)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_key": pa.array(band_keys, pa.string()),
+            }
+        )
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (group by band_key)."""
+    ids = sorted(set(df["doc_id"].tolist()))
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_a": a, "doc_b": b}, dtype="int64")
+
+
+class JaccardVerify:
+    """Verify candidate pairs by true shingle Jaccard. Texts for the
+    pair are read from a broadcast doc_id -> text map (small side via
+    ray.put, fetched once per actor)."""
+
+    def __init__(self, texts_ref):
+        import ray as _ray
+
+        self._texts = _ray.get(texts_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sims = []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            sa = shingles(self._texts.get(a, ""), SHINGLE_K)
+            sb = shingles(self._texts.get(b, ""), SHINGLE_K)
+            sims.append(jaccard(sa, sb))
+        return batch.append_column("jaccard", pa.array(sims, pa.float64()))
+
+
+def minhash_candidate_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """documents -> deduplicated candidate pairs (doc_a < doc_b)."""
+    bands = ds.map_batches(
+        MinHashStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    pairs = bands.groupby("band_key").map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    # same pair can surface from several bands -> distinct
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def minhash_near_dups(
+    ds: ray.data.Dataset, texts_ref, threshold: float = JACCARD_THRESHOLD
+) -> ray.data.Dataset:
+    """Verified near-duplicate pairs with their true Jaccard."""
+    pairs = minhash_candidate_pairs(ds)
+    verified = pairs.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"texts_ref": texts_ref},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+    return verified.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["jaccard"], pa.scalar(threshold))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------- SimHash ----------
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(
+                [int(simhash64(t)) for t in batch["text"].to_pylist()],
+                pa.uint64(),
+            ),
+        }
+    )
+
+
+def _simhash_chunk_rows(batch: pa.Table) -> pa.Table:
+    """Explode each signature into 4×16-bit chunk keys (two near-dup
+    docs within Hamming distance 3 of each other share ≥1 chunk)."""
+    doc_ids, keys, sigs = [], [], []
+    for did, sig in zip(
+        batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()
+    ):
+        for c in range(4):
+            doc_ids.append(did)
+            keys.append(f"{c}:{(sig >> (16 * c)) & 0xFFFF:04x}")
+            sigs.append(sig)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_key": pa.array(keys, pa.string()),
+            "simhash": pa.array(sigs, pa.uint64()),
+        }
+    )
+
+
+def _simhash_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    rows = sorted(
+        set(zip(df["doc_id"].tolist(), (int(s) for s in df["simhash"].tolist())))
+    )
+    a, b, d = [], [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dist = hamming64(rows[i][1], rows[j][1])
+            if dist <= 3:
+                a.append(rows[i][0])
+                b.append(rows[j][0])
+                d.append(dist)
+    return pd.DataFrame(
+        {"doc_a": pd.array(a, "int64"), "doc_b": pd.array(b, "int64"),
+         "hamming": pd.array(d, "int64")}
+    )
+
+
+def simhash_near_dups(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """documents -> (doc_a, doc_b, hamming) pairs with distance ≤ 3."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    chunks = sigs.map_batches(_simhash_chunk_rows, batch_format="pyarrow")
+    pairs = chunks.groupby("chunk_key").map_groups(
+        _simhash_bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------- n-gram Jaccard (exact, small-side broadcast) ----------
+
+class NgramJaccardScorer:
+    """Score every doc against a broadcast set of probe docs; emit
+    (doc_id, probe_id, jaccard) for pairs over threshold."""
+
+    def __init__(self, probes_ref, k: int = SHINGLE_K, threshold: float = 0.5):
+        import ray as _ray
+
+        probes = _ray.get(probes_ref)  # dict probe_id -> text
+        self._probes = {pid: shingles(t, k) for pid, t in probes.items()}
+        self._k = k
+        self._threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, probe_ids, sims = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sh = shingles(text, self._k)
+            for pid, psh in self._probes.items():
+                if pid == did:
+                    continue
+                sim = jaccard(sh, psh)
+                if sim >= self._threshold:
+                    doc_ids.append(did)
+                    probe_ids.append(pid)
+                    sims.append(round(sim, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "probe_id": pa.array(probe_ids, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )

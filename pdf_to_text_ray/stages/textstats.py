@@ -1,0 +1,132 @@
+"""Text analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, fingerprinting.
+
+All are stateless vectorized ``map_batches`` bodies over the
+``documents`` table; scoring constants are module-level frozen so the
+same numbers come out under any parallelism, and each op has a DuckDB
+SQL equivalent (see pipelines/queries.py) used as the correctness
+oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.hashing import md5_hex, simhash64, winnow_fingerprint
+
+_RE_TOKEN = re.compile(r"\S+")
+_RE_WORD = re.compile(r"[a-z]+")
+_RE_PUNCT = re.compile(r"[.!?,;:]")
+# BPE-ish subword pre-tokenizer (GPT-2 style, simplified): word pieces,
+# numbers, or single non-space symbols.
+_RE_BPE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+
+# Small fixed stopword set shared verbatim with the SQL oracle.
+STOP_SMALL = (
+    "the", "and", "of", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "an", "be", "this", "are", "or",
+)
+_STOP_SET = frozenset(STOP_SMALL)
+
+# Disjoint marker-word sets per language (deterministic tie-break
+# priority: en > de > fr > es). Disjointness keeps the SQL oracle exact.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "est", "une", "dans", "pour", "que"),
+    "es": ("el", "los", "las", "es", "una", "por", "para", "como"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es")
+_LANG_SETS = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id) + n_tokens (\\S+ runs), n_bpe_tokens (BPE-ish regex),
+    n_punct."""
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(
+                [len(_RE_TOKEN.findall(t)) for t in texts], pa.int64()
+            ),
+            "n_bpe_tokens": pa.array(
+                [len(_RE_BPE.findall(t)) for t in texts], pa.int64()
+            ),
+            "n_punct": pa.array(
+                [len(_RE_PUNCT.findall(t)) for t in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality-signal columns: length, token count, mean word length,
+    stopword ratio, alpha ratio. Ratios are raw int/int IEEE divisions
+    — bit-identical to the DuckDB oracle's divisions."""
+    texts = batch["text"].to_pylist()
+    n_chars, n_tokens, mean_wl, stop_ratio, alpha_ratio = [], [], [], [], []
+    for t in texts:
+        toks = _RE_TOKEN.findall(t)
+        words = _RE_WORD.findall(t.lower())
+        nt = len(toks)
+        n_chars.append(len(t))
+        n_tokens.append(nt)
+        mean_wl.append(sum(map(len, toks)) / nt if nt else 0.0)
+        stop_ratio.append(
+            sum(w in _STOP_SET for w in words) / len(words) if words else 0.0
+        )
+        alpha_ratio.append(
+            sum(c.isalpha() for c in t) / len(t) if t else 0.0
+        )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "mean_word_len": pa.array(mean_wl, pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word language ID with fixed priority tie-break."""
+    texts = batch["text"].to_pylist()
+    preds, scores = [], []
+    for t in texts:
+        words = _RE_WORD.findall(t.lower())
+        counts = {
+            lang: sum(w in s for w in words) for lang, s in _LANG_SETS.items()
+        }
+        best = max(_LANG_ORDER, key=lambda l: (counts[l], -_LANG_ORDER.index(l)))
+        preds.append(best)
+        scores.append(counts[best])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(preds, pa.string()),
+            "marker_hits": pa.array(scores, pa.int64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content hashes: md5 (SQL-checkable) + SimHash + winnowing sketch
+    size (rolling-hash fingerprint, Schleimer et al. SIGMOD'03)."""
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "md5_hash": pa.array([md5_hex(t) for t in texts], pa.string()),
+            "simhash": pa.array(
+                [int(simhash64(t)) for t in texts], pa.uint64()
+            ),
+            "n_winnow": pa.array(
+                [len(winnow_fingerprint(t)) for t in texts], pa.int64()
+            ),
+        }
+    )

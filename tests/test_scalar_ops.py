@@ -1,0 +1,79 @@
+"""Unit tests for the byte-exact scalar text operators (FIXTURES.md F3),
+including the reference's own smoke input (5_NLP/test_cleaning.py:3-11)."""
+
+from pdf_to_text_ray.functions import scalar
+
+REFERENCE_SAMPLE = """
+This is   a sample document!!
+
+It contains multiple     spaces, broken
+words like exam-
+ple, and some useless symbols • ✔ ~.
+
+Contact: john@example.com
+Visit: https://example.com
+"""
+
+
+def test_normalize_reference_sample():
+    out = scalar.normalize_text(REFERENCE_SAMPLE)
+    assert "example," in out  # hyphen-linebreak joined ("exam-\nple")
+    assert "•" not in out and "✔" not in out and "~" not in out
+    assert "  " not in out
+    assert out == out.strip()
+    assert out.islower() or not any(c.isalpha() and c.isupper() for c in out)
+
+
+def test_normalize_hyphen_break():
+    assert scalar.normalize_text("adopt-\ning") == "adopting"
+    assert scalar.normalize_text("adopt- \n ing") == "adopting"
+
+
+def test_normalize_empty():
+    assert scalar.normalize_text("") == ""
+
+
+def test_clean_text_urls_emails_punct():
+    out = scalar.clean_text(
+        "See https://example.com or www.foo.bar!! mail john@example.com..."
+    )
+    assert "http" not in out and "www" not in out and "@" not in out
+    assert "!!" not in out and "..." not in out
+
+
+def test_clean_text_non_ascii_and_whitelist():
+    assert scalar.clean_text("héllo wörld") == "h llo w rld"
+    assert scalar.clean_text("a&b (c)") == "a b c"
+
+
+def test_clean_text_stopwords():
+    out = scalar.clean_text("the cat and the hat", remove_stopwords=True)
+    assert out == "cat hat"
+
+
+def test_clean_raw_text():
+    assert scalar.clean_raw_text("a\n\n\n\nb") == "a\n\nb"
+    assert scalar.clean_raw_text("  a  \n b ") == "a\nb"
+
+
+def test_ocr_whitelist_reference_fingerprint():
+    # parens/ampersands stripped — the fingerprint visible in
+    # 3_Extracted_Texts/Synopsis/page_10.txt ("Named Entity Recognition NER")
+    assert (
+        scalar.ocr_whitelist_clean("Named Entity Recognition (NER)")
+        == "Named Entity Recognition NER"
+    )
+    assert scalar.ocr_whitelist_clean("R&D @ 100%") == "RD  100"
+    assert scalar.ocr_whitelist_clean("keep .,!?;:'\"- these") == "keep .,!?;:'\"- these"
+
+
+def test_meaningful_length_router_probe():
+    # core_document_processing.py:73: len(re.sub(r'\s+','',text))
+    assert scalar.meaningful_length("a b\nc\t d") == 4
+    assert scalar.meaningful_length("   ") == 0
+
+
+def test_split_into_sentences():
+    assert scalar.split_into_sentences("A b. C d! E?") == ["A b.", "C d!", "E?"]
+    assert scalar.split_into_sentences("") == []
+    assert scalar.split_into_sentences("no terminator") == ["no terminator"]

@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` twin at a given sf_dir,
+compare row-count, column names and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        # uniform numeric widths
+        if str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64").round(9)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(got.columns) != sorted(exp.columns):
+        problems.append(f"columns: got {sorted(got.columns)} exp {sorted(exp.columns)}")
+        return problems
+    if len(got) != len(exp):
+        problems.append(f"rows: got {len(got)} exp {len(exp)}")
+    g, e = canon(got), canon(exp)
+    if len(g) == len(e):
+        neq = (g != e) & ~(g.isna() & e.isna())
+        if neq.any().any():
+            bad_cols = [c for c in g.columns if neq[c].any()]
+            problems.append(f"value mismatch in {bad_cols} ({int(neq.any(axis=1).sum())} rows)")
+            mask = neq.any(axis=1)
+            problems.append("got:\n" + g[mask].head(3).to_string())
+            problems.append("exp:\n" + e[mask].head(3).to_string())
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for tbl in ("region nation customer supplier part orders lineitem "
+                "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name} (rows-only: {len(got)} rows)")
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}")
+            continue
+        problems = compare(name, got, exp)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}:")
+            for p in problems:
+                print("   ", p)
+        else:
+            print(f"ok   {name} ({len(got)} rows, SQL-matched)")
+    print("FAILED:" if failed else "ALL OK", ",".join(failed))
+    ray.shutdown()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
