@@ -31,12 +31,28 @@ class PipelineConfig:
     size_large: int = 1024 * 1024
 
     # --- stage sizing ---
-    sniff_batch_size: int = 4096
+    # The synthesize/sniff/extract/OCR maps FUSE into one operator whose
+    # input-bundling unit is the stage batch_size — a large value here
+    # caps pipeline parallelism (5000 rows / 4096 = 2 tasks!), so every
+    # stage in the fused chain uses the same small docs-per-task batch.
+    sniff_batch_size: int = 64
     extract_batch_size: int = 64  # docs per parse batch (heavy stage -> small)
     extract_batch_size_xl: int = 1
-    ocr_batch_size: int = 32  # pages per OCR batch
-    ocr_concurrency: int = 4  # OCR actor-pool size
+    ocr_batch_size: int = 64  # pages per OCR batch
+    # OCR actor-pool size. None -> autoscaling (1, cluster CPUs): Ray
+    # fuses the upstream stateless stages into this actor pool, so a
+    # fixed small pool would cap the WHOLE pipeline's parallelism.
+    ocr_concurrency: int | tuple | None = None
     combine_num_blocks: int | None = None  # post-shuffle block count (None -> Ray default)
+
+    # --- dedup strategy ---
+    # "broadcast": pruned-column pre-pass computes the winner ts per
+    #   re-crawled url, broadcast via ray.put; extraction is then fully
+    #   map-only (no payload/page shuffle). Right when the duplicate-url
+    #   set fits in memory (re-crawls are a few % of a crawl).
+    # "shuffle": groupby(partition_id) dedup+combine — the general path
+    #   for unbounded duplicate sets.
+    dedup_mode: str = "broadcast"
 
     # --- combine semantics ---
     # "numeric" sorts pages by page_no (core_document_generator.py:157-185);

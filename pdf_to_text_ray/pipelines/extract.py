@@ -20,27 +20,68 @@ exploded immediately after parse so downstream stages work on pages.
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
 import ray.data
+from ray.data.aggregate import Count, Max
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..sources.synth import synthesize_batch
+from ..sources.synth import synthesize_batch, synthesize_keys_batch
 from ..stages.combine import make_finalizer
-from ..stages.extract import make_extractor
+from ..stages.extract import make_doc_extractor, make_extractor
 from ..stages.ocr import OcrEngine
 from ..stages.sniff import make_sniffer
 
 
-def read_documents(sf_dir: str) -> ray.data.Dataset:
+def read_documents(
+    sf_dir: str, num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Pruned-column read. ``num_blocks`` defaults to 4x cluster CPUs so
+    downstream map tasks (task = one block) outnumber cores enough for
+    balance without drowning in scheduling overhead."""
+    if num_blocks is None:
+        try:
+            num_blocks = 4 * int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_blocks = 32
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=num_blocks,
     )
 
 
-def synthesize_docs(sf_dir: str) -> ray.data.Dataset:
-    """The Common-Crawl-style input table as a (lazy, distributed) Dataset."""
+def synthesize_docs(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    """The Common-Crawl-style input table as a (lazy, distributed) Dataset.
+
+    ``repeat`` > 1 amplifies the corpus deterministically (each source
+    row yields ``repeat`` distinct urls) — used by the scaling bench to
+    give the pipeline enough work to measure steady-state throughput.
+    """
+    # batch_size=None processes one whole block per call: task
+    # granularity is controlled solely by read_documents' num_blocks
+    # (4x CPUs), and each stage call stays fully vectorized.
     return read_documents(sf_dir).map_batches(
-        synthesize_batch, batch_format="pyarrow", batch_size=512
+        synthesize_batch,
+        fn_kwargs={"repeat": repeat},
+        batch_format="pyarrow",
+        batch_size=None,
     )
+
+
+def _pool_size(cfg: PipelineConfig):
+    """Actor-pool sizing for the fused extract+OCR stage: the upstream
+    stateless maps fuse into this pool, so it must scale with the
+    cluster, not a constant."""
+    if cfg.ocr_concurrency is not None:
+        return cfg.ocr_concurrency
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus))
 
 
 def pages_pipeline(
@@ -58,7 +99,7 @@ def pages_pipeline(
         fn_constructor_kwargs={"engine": "stub"},
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
-        concurrency=cfg.ocr_concurrency,
+        concurrency=_pool_size(cfg),
     )
     return ds
 
@@ -66,7 +107,9 @@ def pages_pipeline(
 def extract_pipeline(
     docs: ray.data.Dataset, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
-    """docs table -> extracted table (one row per url)."""
+    """Shuffle-path extraction: docs -> pages -> groupby(partition_id)
+    -> dedup + combine. The general path — works for corpora whose
+    duplicate-url set doesn't fit in a broadcast."""
     pages = pages_pipeline(docs, cfg)
     finalize = make_finalizer(cfg.page_separator, cfg.combine_order)
     return pages.groupby("partition_id").map_groups(
@@ -74,7 +117,139 @@ def extract_pipeline(
     )
 
 
-def run_extraction(
-    sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG
+# ------------------------- broadcast-dedup, map-only path (default) --
+
+
+def synthesize_keys(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    """Pruned pre-pass: just (url, ts_us) crawl keys. On a real corpus
+    this is ``read_parquet(columns=["url", "warc_ts"])`` — only two tiny
+    columns leave storage, ~10^3x less bytes than the payload scan."""
+    try:
+        num_blocks = 4 * int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        num_blocks = 32
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id"],
+        override_num_blocks=num_blocks,
+    ).map_batches(
+        synthesize_keys_batch,
+        fn_kwargs={"repeat": repeat},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def _partial_key_agg(batch: pa.Table) -> pa.Table:
+    """Map-side combiner: one (url, max_ts, n) row per url per batch
+    (pure pyarrow C++ group-by)."""
+    g = pa.TableGroupBy(batch, "url").aggregate(
+        [("ts_us", "max"), ("ts_us", "count")]
+    )
+    return pa.table(
+        {
+            "url": g["url"],
+            "max_ts": g["ts_us_max"],
+            "n": pc.cast(g["ts_us_count"], pa.int64()),
+        }
+    )
+
+
+def stale_droplist(keys: ray.data.Dataset) -> dict[str, int]:
+    """url -> winning ts_us, ONLY for urls crawled more than once.
+
+    Shape: map-side partial aggregation (one row per url per block),
+    merged driver-side with one multithreaded pyarrow C++ group-by —
+    Ray's sort-based groupby shuffle costs seconds of fixed latency that
+    this one-column merge doesn't need. Driver memory is O(distinct urls
+    in the partials); corpora beyond that use cfg.dedup_mode="shuffle".
+    The resulting broadcast dict is proportional to the RE-CRAWLED url
+    count only (typically a few %% of a crawl).
+    """
+    partials = keys.map_batches(
+        _partial_key_agg, batch_format="pyarrow", batch_size=None
+    )
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return {}
+    merged = pa.TableGroupBy(
+        pa.concat_tables(tables).combine_chunks(), "url"
+    ).aggregate([("max_ts", "max"), ("n", "sum")])
+    dup = merged.filter(pc.greater(merged["n_sum"], 1))
+    return dict(
+        zip(dup["url"].to_pylist(), dup["max_ts_max"].to_pylist())
+    )
+
+
+# Broadcast objects are fetched from the local object store once per
+# worker PROCESS and cached here — never deserialized per batch.
+_BCAST_CACHE: dict[str, dict] = {}
+
+
+def _get_broadcast(ref) -> dict:
+    d = _BCAST_CACHE.get(ref.hex())
+    if d is None:
+        d = _BCAST_CACHE[ref.hex()] = ray.get(ref)
+    return d
+
+
+def make_stale_filter(dups_ref):
+    """Drop crawls older than their url's winner (broadcast lookup)."""
+
+    def stale_filter(batch: pa.Table) -> pa.Table:
+        dups = _get_broadcast(dups_ref)
+        if not dups:
+            return batch
+        ts = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        mask = [
+            u not in dups or t == dups[u]
+            for u, t in zip(batch["url"].to_pylist(), ts)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return stale_filter
+
+
+def extract_pipeline_broadcast(
+    docs: ray.data.Dataset,
+    dups: dict[str, int],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    pre_extract=None,
 ) -> ray.data.Dataset:
-    return extract_pipeline(synthesize_docs(sf_dir), cfg)
+    """Map-only extraction: sniff -> broadcast stale filter (stale
+    crawls never reach the parser) -> fused parse+OCR+combine. No
+    shuffle touches payload or page text.
+
+    ``pre_extract``: optional batch filter applied before the parser
+    (the checkpoint resume filter plugs in here so completed
+    partitions' docs are never parsed).
+    """
+    ds = docs.map_batches(
+        make_sniffer(cfg), batch_format="pyarrow", batch_size=None
+    )
+    if dups:
+        ds = ds.map_batches(
+            make_stale_filter(ray.put(dups)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    if pre_extract is not None:
+        ds = ds.map_batches(
+            pre_extract, batch_format="pyarrow", batch_size=None
+        )
+    return ds.map_batches(
+        make_doc_extractor(cfg),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def run_extraction(
+    sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, repeat: int = 1
+) -> ray.data.Dataset:
+    if cfg.dedup_mode == "shuffle":
+        return extract_pipeline(synthesize_docs(sf_dir, repeat), cfg)
+    dups = stale_droplist(synthesize_keys(sf_dir, repeat))
+    return extract_pipeline_broadcast(
+        synthesize_docs(sf_dir, repeat), dups, cfg
+    )

@@ -119,18 +119,55 @@ def payload_for(doc_id: int, text: str) -> bytes:
     return make_junk(doc_id)
 
 
-def synthesize_batch(batch: pa.Table) -> pa.Table:
+# Virtual-id stride for bench amplification: doc_id + r*stride keeps
+# the payload class (doc_id % 10) and produces a distinct url per copy.
+VIRT_STRIDE = 100_000_000
+
+
+def _ts_us(dt: datetime) -> int:
+    return int((dt - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def synthesize_keys_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    """(url, ts_us) crawl keys only — the pruned-column pre-pass for
+    broadcast dedup. On a real corpus this is
+    ``read_parquet(columns=["url", "warc_ts"])``; here the keys are a
+    pure function of doc_id so the payloads are never built."""
+    urls: list[str] = []
+    tss: list[int] = []
+    for doc_id in batch["doc_id"].to_pylist():
+        for r in range(repeat):
+            vid = doc_id + r * VIRT_STRIDE
+            urls.append(url_for(vid))
+            tss.append(_ts_us(ts_for(vid)))
+            if vid % 10 == 2:
+                urls.append(url_for(vid))
+                tss.append(_ts_us(ts_for(vid) - timedelta(days=1)))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "ts_us": pa.array(tss, pa.int64()),
+        }
+    )
+
+
+def synthesize_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     """documents rows -> docs rows (plus stale-dup rows for cls==2)."""
     urls: list[str] = []
     tss: list[datetime] = []
     payloads: list[bytes] = []
     texts: list[str] = []
     langs: list[str] = []
-    for doc_id, text, lang in zip(
-        batch["doc_id"].to_pylist(),
-        batch["text"].to_pylist(),
-        batch["lang"].to_pylist(),
-    ):
+    src = [
+        (doc_id + r * VIRT_STRIDE, text, lang)
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        )
+        for r in range(repeat)
+    ]
+    for doc_id, text, lang in src:
         urls.append(url_for(doc_id))
         tss.append(ts_for(doc_id))
         payloads.append(payload_for(doc_id, text))

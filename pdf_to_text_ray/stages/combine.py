@@ -24,41 +24,60 @@ EXTRACTED_COLUMNS = [
 ]
 
 
-def _sort_key(order: str):
-    if order == "lex":
-        return lambda g: g.assign(_k=g["page_no"].map(lambda n: f"page_{n}")).sort_values("_k")
-    return lambda g: g.sort_values("page_no")
-
-
 def make_finalizer(page_separator: str = "\n", order: str = "numeric"):
-    sort = _sort_key(order)
-
+    # Column-wise groupby aggregations, NOT a per-url python loop: one
+    # finalize call handles a whole hash-partition (thousands of urls),
+    # so per-group DataFrame construction would dominate wall time.
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        # exact dedup: keep the latest crawl of each url
+        # exact dedup: keep the latest crawl of each url (all pages of
+        # one crawl share warc_ts)
         latest = df.groupby("url")["warc_ts"].transform("max")
         df = df[df["warc_ts"] == latest]
-        rows = []
-        for url, g in df.groupby("url", sort=True):
-            g = sort(g)
-            pages = g[g["route"] != "none"]
-            texts = pages["page_text"].fillna("").tolist()
-            text = page_separator.join(texts)
-            all_ok = bool(g["parse_ok"].all()) and len(pages) > 0
-            rows.append(
-                {
-                    "url": url,
-                    "text": text,
-                    "doc_type": g["doc_type"].iloc[0],
-                    "lang": g["lang"].iloc[0],
-                    "n_pages": len(pages),
-                    "n_chars": len(text),
-                    "routes": pages["route"].tolist(),
-                    "parse_failures": int((~g["parse_ok"]).sum()),
-                    "parse_ok": all_ok,
-                    "partition_id": int(g["partition_id"].iloc[0]),
-                }
-            )
-        out = pd.DataFrame(rows, columns=EXTRACTED_COLUMNS)
+        if order == "lex":
+            # the reference's lexicographic filename-sort quirk
+            df = df.assign(_k="page_" + df["page_no"].astype(str))
+            df = df.sort_values(["url", "_k"], kind="mergesort")
+        else:
+            df = df.sort_values(["url", "page_no"], kind="mergesort")
+
+        meta = df.groupby("url", sort=True).agg(
+            doc_type=("doc_type", "first"),
+            lang=("lang", "first"),
+            partition_id=("partition_id", "first"),
+            ok_rows=("parse_ok", "sum"),
+            total_rows=("parse_ok", "size"),
+        )
+        pages = df[df["route"] != "none"].copy()
+        pages["page_text"] = pages["page_text"].fillna("")
+        pg = pages.groupby("url", sort=True)
+        text = pg["page_text"].agg(page_separator.join).reindex(
+            meta.index, fill_value=""
+        )
+        n_pages = pg.size().reindex(meta.index, fill_value=0)
+        routes = pg["route"].agg(list).reindex(meta.index)
+
+        out = pd.DataFrame(
+            {
+                "url": meta.index,
+                "text": text.to_numpy(),
+                "doc_type": meta["doc_type"].to_numpy(),
+                "lang": meta["lang"].to_numpy(),
+                "n_pages": n_pages.to_numpy(),
+                "n_chars": text.str.len().to_numpy(),
+                "routes": [
+                    r if isinstance(r, list) else [] for r in routes
+                ],
+                "parse_failures": (
+                    meta["total_rows"] - meta["ok_rows"]
+                ).to_numpy(),
+                "parse_ok": (
+                    (meta["ok_rows"] == meta["total_rows"])
+                    & (n_pages > 0)
+                ).to_numpy(),
+                "partition_id": meta["partition_id"].to_numpy(),
+            },
+            columns=EXTRACTED_COLUMNS,
+        )
         return out.astype(
             {"n_pages": "int32", "n_chars": "int64",
              "parse_failures": "int32", "partition_id": "int32"}

@@ -83,19 +83,45 @@ class MinHashStage:
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band_key": pa.array(band_keys, pa.string()),
+                "band_part": pa.array(
+                    _key_partition(band_keys, NUM_LSH_PARTITIONS), pa.int32()
+                ),
             }
         )
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (group by band_key)."""
-    ids = sorted(set(df["doc_id"].tolist()))
+# LSH buckets are mostly singletons, so grouping BY band_key gives
+# millions of tiny groups (per-group pandas overhead dominates). We
+# instead hash band keys into a bounded number of partitions and run a
+# vectorized within-partition groupby: each partition holds complete
+# buckets (same key -> same partition), singleton keys are dropped with
+# one duplicated() mask before any per-group work.
+NUM_LSH_PARTITIONS = 64
+
+
+def _key_partition(keys: list[str], num_partitions: int) -> list[int]:
+    import zlib
+
+    return [zlib.crc32(k.encode()) % num_partitions for k in keys]
+
+
+def _partition_pairs(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    dup = df[df.duplicated(key_col, keep=False)]
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b}, dtype="int64")
+    for _, g in dup.groupby(key_col, sort=False):
+        ids = sorted(set(g["doc_id"].tolist()))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+    return pd.DataFrame(
+        {"doc_a": pd.array(a, "int64"), "doc_b": pd.array(b, "int64")}
+    )
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one hash-partition of LSH buckets."""
+    return _partition_pairs(df, "band_key")
 
 
 class JaccardVerify:
@@ -122,7 +148,7 @@ def minhash_candidate_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     bands = ds.map_batches(
         MinHashStage, batch_format="pyarrow", batch_size=256, concurrency=2
     )
-    pairs = bands.groupby("band_key").map_groups(
+    pairs = bands.groupby("band_part").map_groups(
         _bucket_pairs, batch_format="pandas"
     )
     # same pair can surface from several bands -> distinct
@@ -179,22 +205,29 @@ def _simhash_chunk_rows(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(doc_ids, pa.int64()),
             "chunk_key": pa.array(keys, pa.string()),
             "simhash": pa.array(sigs, pa.uint64()),
+            "chunk_part": pa.array(
+                _key_partition(keys, NUM_LSH_PARTITIONS), pa.int32()
+            ),
         }
     )
 
 
 def _simhash_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    rows = sorted(
-        set(zip(df["doc_id"].tolist(), (int(s) for s in df["simhash"].tolist())))
-    )
+    """Pairs within one hash-partition of chunk buckets (same
+    singleton-skip strategy as _bucket_pairs)."""
+    dup = df[df.duplicated("chunk_key", keep=False)]
     a, b, d = [], [], []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            dist = hamming64(rows[i][1], rows[j][1])
-            if dist <= 3:
-                a.append(rows[i][0])
-                b.append(rows[j][0])
-                d.append(dist)
+    for _, g in dup.groupby("chunk_key", sort=False):
+        rows = sorted(
+            set(zip(g["doc_id"].tolist(), (int(s) for s in g["simhash"].tolist())))
+        )
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                dist = hamming64(rows[i][1], rows[j][1])
+                if dist <= 3:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(dist)
     return pd.DataFrame(
         {"doc_a": pd.array(a, "int64"), "doc_b": pd.array(b, "int64"),
          "hamming": pd.array(d, "int64")}
@@ -205,7 +238,7 @@ def simhash_near_dups(ds: ray.data.Dataset) -> ray.data.Dataset:
     """documents -> (doc_a, doc_b, hamming) pairs with distance ≤ 3."""
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
     chunks = sigs.map_batches(_simhash_chunk_rows, batch_format="pyarrow")
-    pairs = chunks.groupby("chunk_key").map_groups(
+    pairs = chunks.groupby("chunk_part").map_groups(
         _simhash_bucket_pairs, batch_format="pandas"
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(

@@ -86,3 +86,28 @@ def make_extractor(cfg: PipelineConfig):
         )
 
     return extract_batch
+
+
+def make_doc_extractor(cfg: PipelineConfig, engine: str = "stub"):
+    """Fused doc-level stage: parse + OCR + page-combine inside ONE
+    ``map_batches`` call, emitting one row per document crawl.
+
+    Because a document's pages are exploded and reassembled within the
+    same batch, no page row ever crosses a task boundary — the combine
+    needs NO shuffle. Pair with the broadcast stale-crawl filter
+    (pipelines/extract.py) for a fully map-only extraction path; the
+    ``groupby(partition_id)`` path remains for corpora whose duplicate
+    keys don't fit a broadcast (config.dedup_mode="shuffle").
+    """
+    from .combine import make_finalizer
+    from .ocr import ocr_task_fn
+
+    extract = make_extractor(cfg)
+    finalize = make_finalizer(cfg.page_separator, cfg.combine_order)
+
+    def doc_extract_batch(batch: pa.Table) -> pa.Table:
+        pages = ocr_task_fn(extract(batch), engine=engine)
+        out = finalize(pages.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return doc_extract_batch

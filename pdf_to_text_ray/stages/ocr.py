@@ -84,3 +84,19 @@ class OcrEngine:
         out = batch.drop_columns(["ocr_payload"])  # shrink the shuffle
         idx = out.schema.get_field_index("page_text")
         return out.set_column(idx, "page_text", pa.array(texts, pa.string()))
+
+
+_CACHED: dict[str, OcrEngine] = {}
+
+
+def ocr_task_fn(batch: pa.Table, engine: str = "stub") -> pa.Table:
+    """Task-pool variant of the OCR stage: engine cached once per WORKER
+    PROCESS (the task-pool analogue of actor ``__init__``). Used when the
+    engine is cheap to build — an elastic task pool has no actor-spawn
+    ramp, so the stage scales with the cluster instantly. Heavy engines
+    (real OCR/vision models) should use the OcrEngine actor-pool form.
+    """
+    eng = _CACHED.get(engine)
+    if eng is None:
+        eng = _CACHED[engine] = OcrEngine(engine=engine)
+    return eng(batch)

@@ -39,7 +39,6 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..config import PipelineConfig
-from ..stages.combine import make_finalizer
 
 
 def _part_name(pid: int) -> str:
@@ -76,17 +75,16 @@ def _atomic_write(path: str, write_fn) -> None:
 
 
 def make_partition_writer(cfg: PipelineConfig):
-    """map_groups body: finalize one partition, write its data file and
+    """map_groups body: write one partition's extracted rows and its
     lineage sidecar atomically, return the lineage row."""
-    finalize = make_finalizer(cfg.page_separator, cfg.combine_order)
     output_dir = cfg.output_dir
     if not output_dir:
         raise ValueError("cfg.output_dir is required for checkpointed runs")
 
-    def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def write_partition(extracted: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
-        pid = int(df["partition_id"].iloc[0])
-        extracted = finalize(df)
+        pid = int(extracted["partition_id"].iloc[0])
+        extracted = extracted.sort_values("url", kind="mergesort")
         table = pa.Table.from_pandas(extracted, preserve_index=False)
         _atomic_write(
             data_path(output_dir, pid), lambda p: pq.write_table(table, p)
@@ -126,19 +124,27 @@ def resume_filter(done: set[int]):
 
 
 def run_checkpointed(
-    docs: ray.data.Dataset, cfg: PipelineConfig
+    docs: ray.data.Dataset, cfg: PipelineConfig, dups: dict | None = None
 ) -> dict:
     """Run the extraction pipeline with per-partition checkpointing.
 
+    The resume filter runs right after the sniff stage inside the
+    map-only extraction, so completed partitions' docs are never parsed;
+    the groupby then shuffles only extracted doc rows (payloads and page
+    rasters are long gone).
+
     Returns {"lineage": DataFrame, "skipped": n, "computed": n}.
     """
-    from ..pipelines.extract import pages_pipeline
+    from ..pipelines.extract import extract_pipeline_broadcast
 
     done = completed_partitions(cfg.output_dir)
-    pages = pages_pipeline(docs, cfg)
-    if done:
-        pages = pages.map_batches(resume_filter(done), batch_format="pyarrow")
-    lineage_ds = pages.groupby("partition_id").map_groups(
+    extracted = extract_pipeline_broadcast(
+        docs,
+        dups if dups is not None else {},
+        cfg,
+        pre_extract=resume_filter(done) if done else None,
+    )
+    lineage_ds = extracted.groupby("partition_id").map_groups(
         make_partition_writer(cfg), batch_format="pandas"
     )
     lineage = lineage_ds.to_pandas()  # ≤ num_partitions rows — tiny
