@@ -59,11 +59,12 @@ class PipelineConfig:
     # "lex" reproduces the reference's lexicographic filename-sort quirk
     # (combine_texts.py:20 -> page_1, page_10, page_11, ..., page_2).
     combine_order: str = "numeric"
-    # Separator between pages when reassembling a document. The flagship
-    # pipeline uses "\n" (1 char, keeps extracted text byte-aligned with the
-    # source); reference-style header separators are exposed by
-    # stages/combine.py as combine_reference_style().
-    page_separator: str = "\n"
+    # Separator between pages when reassembling a document. The synthetic
+    # corpus paginates on word boundaries, so a single space reconstructs
+    # the source text byte-exactly (the per-url byte-identity contract);
+    # reference-style header separators are exposed by stages/combine.py
+    # (combine_page_headers / combine_reference_lex).
+    page_separator: str = " "
 
     # --- output ---
     output_dir: str | None = None  # when set, run_checkpointed writes here

@@ -63,8 +63,12 @@ JACCARD_THRESHOLD = 0.8
 
 
 class MinHashStage:
-    """Actor-pool stage: MinHasher built once per actor (permutation
-    tables are state — ST-style setup per SURVEY §2.3)."""
+    """MinHasher built once per worker (permutation tables are state —
+    ST-style setup per SURVEY §2.3). Used as a task-pool ``map_batches``
+    fn via :func:`minhash_task_fn`: the state is cheap to build, and a
+    task pool never pins CPUs the way a fixed actor pool does (two
+    2-actor pools on a 4-CPU node starve the shuffle between them).
+    Heavy-state stages (real OCR models) use the actor-pool form."""
 
     def __init__(self, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS):
         self._mh = MinHasher(num_perm=num_perm)
@@ -127,7 +131,7 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
 class JaccardVerify:
     """Verify candidate pairs by true shingle Jaccard. Texts for the
     pair are read from a broadcast doc_id -> text map (small side via
-    ray.put, fetched once per actor)."""
+    ray.put, fetched once per worker from the local object store)."""
 
     def __init__(self, texts_ref):
         import ray as _ray
@@ -143,10 +147,34 @@ class JaccardVerify:
         return batch.append_column("jaccard", pa.array(sims, pa.float64()))
 
 
+_MINHASH_CACHE: dict[tuple, MinHashStage] = {}
+
+
+def minhash_task_fn(
+    batch: pa.Table, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS
+) -> pa.Table:
+    key = (num_perm, num_bands)
+    stage = _MINHASH_CACHE.get(key)
+    if stage is None:
+        stage = _MINHASH_CACHE[key] = MinHashStage(num_perm, num_bands)
+    return stage(batch)
+
+
+_VERIFY_CACHE: dict[str, JaccardVerify] = {}
+
+
+def _jaccard_verify_task(batch: pa.Table, texts_ref=None) -> pa.Table:
+    key = texts_ref.hex()
+    v = _VERIFY_CACHE.get(key)
+    if v is None:
+        v = _VERIFY_CACHE[key] = JaccardVerify(texts_ref)
+    return v(batch)
+
+
 def minhash_candidate_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     """documents -> deduplicated candidate pairs (doc_a < doc_b)."""
     bands = ds.map_batches(
-        MinHashStage, batch_format="pyarrow", batch_size=256, concurrency=2
+        minhash_task_fn, batch_format="pyarrow", batch_size=256
     )
     pairs = bands.groupby("band_part").map_groups(
         _bucket_pairs, batch_format="pandas"
@@ -161,11 +189,10 @@ def minhash_near_dups(
     """Verified near-duplicate pairs with their true Jaccard."""
     pairs = minhash_candidate_pairs(ds)
     verified = pairs.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs={"texts_ref": texts_ref},
+        _jaccard_verify_task,
+        fn_kwargs={"texts_ref": texts_ref},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=2,
     )
     return verified.map_batches(
         lambda t: t.filter(

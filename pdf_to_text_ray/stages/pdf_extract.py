@@ -272,11 +272,20 @@ def extract_runs(content: bytes) -> list[_Run]:
     return runs
 
 
-def assemble_text(runs: list[_Run], y_tol: float = 2.0) -> str:
+def assemble_text(
+    runs: list[_Run], y_tol: float = 2.0, line_separator: str = " "
+) -> str:
     """Reading-order assembly: cluster runs into lines by y (tolerance),
     sort lines top-to-bottom (-y), runs within a line left-to-right (x),
     concatenate runs (generator embeds explicit spaces), join lines with
-    '\\n'."""
+    ``line_separator``.
+
+    The default separator is a single space: the synthetic corpus
+    encodes source text losslessly across line wraps, so a space
+    reconstructs the original bytes exactly (the engine's byte-identity
+    contract). Pass "\\n" for the pdfminer/PyMuPDF visual-line
+    convention.
+    """
     if not runs:
         return ""
     lines: list[list[_Run]] = []
@@ -285,7 +294,7 @@ def assemble_text(runs: list[_Run], y_tol: float = 2.0) -> str:
             lines[-1].append(run)
         else:
             lines.append([run])
-    return "\n".join(
+    return line_separator.join(
         "".join(r.text for r in sorted(line, key=lambda r: r.x)) for line in lines
     )
 

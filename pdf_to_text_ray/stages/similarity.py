@@ -75,6 +75,25 @@ def _topk_per_query(k: int):
     return fn
 
 
+# Cheap-state stages run as TASK pools with per-worker caches: a fixed
+# actor pool pins CPUs for the whole run, and two such pools around a
+# shuffle deadlock a small node (2+2 actors on 4 CPUs leave the sort no
+# CPU). Actor pools stay the right tool for heavy state (real models).
+_SCORER_CACHE: dict = {}
+
+
+def _scorer(queries_ref, k: int) -> BruteForceTopK:
+    key = (queries_ref.hex(), k)
+    sc = _SCORER_CACHE.get(key)
+    if sc is None:
+        sc = _SCORER_CACHE[key] = BruteForceTopK(queries_ref, k)
+    return sc
+
+
+def _bf_topk_task(batch: pa.Table, queries_ref=None, k: int = 10) -> pa.Table:
+    return _scorer(queries_ref, k)(batch)
+
+
 def ann_topk(
     ds: ray.data.Dataset,
     queries_ref,
@@ -85,11 +104,10 @@ def ann_topk(
     -> (query_id, vec_id, sim, rank)
     """
     local = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        _bf_topk_task,
+        fn_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
     )
     return local.groupby("query_id").map_groups(
         _topk_per_query(k), batch_format="pandas"
@@ -117,6 +135,49 @@ class HyperplaneBucketer:
         )
 
 
+_BUCKETER_CACHE: dict = {}
+
+
+def _bucketer(dim: int, n_planes: int) -> HyperplaneBucketer:
+    key = (dim, n_planes)
+    b = _BUCKETER_CACHE.get(key)
+    if b is None:
+        b = _BUCKETER_CACHE[key] = HyperplaneBucketer(dim, n_planes)
+    return b
+
+
+def _bucket_task(batch: pa.Table, dim: int = 0, n_planes: int = 4) -> pa.Table:
+    return _bucketer(dim, n_planes)(batch)
+
+
+def _bucket_score_task(
+    batch: pa.Table, queries_ref=None, k: int = 10, q_buckets_ref=None
+) -> pa.Table:
+    out = _scorer(queries_ref, k)(batch)
+    q_buckets = _get_q_buckets(q_buckets_ref)
+    # keep (query, vec) pairs only when they share the bucket
+    vec_bucket = dict(
+        zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist())
+    )
+    mask = [
+        q_buckets.get(qid) == vec_bucket.get(vid)
+        for qid, vid in zip(
+            out["query_id"].to_pylist(), out["vec_id"].to_pylist()
+        )
+    ]
+    return out.filter(pa.array(mask, pa.bool_()))
+
+
+_QBUCKET_CACHE: dict = {}
+
+
+def _get_q_buckets(ref) -> dict:
+    d = _QBUCKET_CACHE.get(ref.hex())
+    if d is None:
+        d = _QBUCKET_CACHE[ref.hex()] = ray.get(ref)
+    return d
+
+
 def lsh_topk(
     ds: ray.data.Dataset,
     queries_ref,
@@ -128,11 +189,10 @@ def lsh_topk(
     bucket. Recall < 1 by design; compare against ann_topk for the
     recall/throughput trade."""
     bucketed = ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        _bucket_task,
+        fn_kwargs={"dim": dim, "n_planes": n_planes},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
     )
     q = ray.get(queries_ref)
     bucketer = HyperplaneBucketer(dim, n_planes)
@@ -142,27 +202,15 @@ def lsh_topk(
     }
     q_buckets_ref = ray.put(q_buckets)
 
-    class BucketScorer(BruteForceTopK):
-        def __init__(self):
-            super().__init__(queries_ref, k)
-            self._q_buckets = ray.get(q_buckets_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch)
-            # keep (query, vec) pairs only when they share the bucket
-            vec_bucket = dict(
-                zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist())
-            )
-            mask = [
-                self._q_buckets.get(qid) == vec_bucket.get(vid)
-                for qid, vid in zip(
-                    out["query_id"].to_pylist(), out["vec_id"].to_pylist()
-                )
-            ]
-            return out.filter(pa.array(mask, pa.bool_()))
-
     local = bucketed.map_batches(
-        BucketScorer, batch_format="pyarrow", batch_size=4096, concurrency=2
+        _bucket_score_task,
+        fn_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "q_buckets_ref": q_buckets_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
     )
     return local.groupby("query_id").map_groups(
         _topk_per_query(k), batch_format="pandas"

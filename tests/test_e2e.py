@@ -1,0 +1,117 @@
+"""End-to-end golden + invariance tests (SURVEY.md §5, FIXTURES.md F2).
+
+The per-row invariant (BASELINE.json north_rule): extracted text is
+byte-identical per url to the oracle. The oracle here is the corpus
+construction itself — every payload class embeds documents.text so the
+expected extraction is exactly that text (junk rows extract to "").
+
+Invariance: identical results from the broadcast (map-only) and shuffle
+(groupby) dedup paths, and under different block layouts — the property
+the sequential reference gets for free and a parallel engine must prove.
+"""
+
+from dataclasses import replace
+
+import pandas as pd
+import pytest
+
+from pdf_to_text_ray.config import DEFAULT_CONFIG
+from pdf_to_text_ray.pipelines.extract import (
+    read_documents,
+    run_extraction,
+    stale_droplist,
+    synthesize_docs,
+    synthesize_keys,
+)
+from pdf_to_text_ray.sources.synth import url_for
+
+
+def _expected(documents_df: pd.DataFrame) -> dict[str, str]:
+    out = {}
+    for r in documents_df.itertuples():
+        cls = r.doc_id % 10
+        out[url_for(r.doc_id)] = "" if cls == 9 else r.text
+    return out
+
+
+def _by_url(ds) -> dict[str, dict]:
+    return {r["url"]: r for r in ds.take_all()}
+
+
+@pytest.fixture(scope="module")
+def extracted(sf_dir):
+    return _by_url(run_extraction(sf_dir))
+
+
+def test_every_url_byte_identical(extracted, documents_df):
+    expected = _expected(documents_df)
+    assert set(extracted) == set(expected)
+    mismatches = [
+        u for u, want in expected.items() if extracted[u]["text"] != want
+    ]
+    assert mismatches == [], f"{len(mismatches)} urls differ: {mismatches[:5]}"
+
+
+def test_match_rate_is_100_percent(extracted, documents_df):
+    expected = _expected(documents_df)
+    n_match = sum(extracted[u]["text"] == w for u, w in expected.items())
+    assert n_match / len(expected) == 1.0
+
+
+def test_stale_recrawls_deduped(extracted, documents_df):
+    # cls==2 rows emit an extra stale crawl; exactly one row per url must
+    # survive, carrying the latest crawl's content (not "stale draft of")
+    dup_urls = [
+        url_for(r.doc_id)
+        for r in documents_df.itertuples()
+        if r.doc_id % 10 == 2
+    ]
+    assert dup_urls
+    for u in dup_urls:
+        assert not extracted[u]["text"].startswith("stale draft of")
+
+
+def test_junk_rows_carry_error_not_poison(extracted, documents_df):
+    junk = [
+        url_for(r.doc_id)
+        for r in documents_df.itertuples()
+        if r.doc_id % 10 == 9
+    ]
+    assert junk
+    for u in junk:
+        row = extracted[u]
+        assert row["text"] == "" and not row["parse_ok"]
+        assert row["doc_type"] == "unknown" and row["n_pages"] == 0
+
+
+def test_broadcast_and_shuffle_paths_identical(sf_dir, extracted):
+    shuffle_cfg = replace(DEFAULT_CONFIG, dedup_mode="shuffle")
+    other = _by_url(run_extraction(sf_dir, shuffle_cfg))
+    assert set(other) == set(extracted)
+    for u, row in extracted.items():
+        o = other[u]
+        assert (row["text"], row["n_pages"], row["parse_ok"], row["routes"]) == (
+            o["text"], o["n_pages"], o["parse_ok"], o["routes"]
+        ), u
+
+
+def test_block_layout_invariance(sf_dir, extracted):
+    # Same corpus read as 3 blocks instead of 4xCPU blocks: byte-identical.
+    from pdf_to_text_ray.pipelines.extract import (
+        extract_pipeline_broadcast,
+        synthesize_batch,
+    )
+
+    docs = read_documents(sf_dir, num_blocks=3).map_batches(
+        synthesize_batch, batch_format="pyarrow", batch_size=None
+    )
+    dups = stale_droplist(synthesize_keys(sf_dir))
+    other = _by_url(extract_pipeline_broadcast(docs, dups))
+    assert set(other) == set(extracted)
+    for u, row in extracted.items():
+        assert other[u]["text"] == row["text"], u
+
+
+def test_routes_cover_all_three(extracted):
+    seen = {r for row in extracted.values() for r in row["routes"]}
+    assert {"dom", "text_layer", "ocr"} <= seen

@@ -1,0 +1,167 @@
+"""Training-data operators: dedup family, text analysis, similarity
+search, summarizer. Each pinned against a driver-side pure-python /
+numpy oracle on sf0.001 (the SQL-expressible ones are additionally
+cross-checked against DuckDB by tools/check_oracle.py and the driver).
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from pdf_to_text_ray.functions.hashing import (
+    hamming64,
+    jaccard,
+    shingles,
+    simhash64,
+)
+from pdf_to_text_ray.pipelines.queries import QUERIES
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_dedup_counts(sf_dir, documents_df):
+    rows = QUERIES["dedup_exact"](sf_dir).take_all()
+    # corpus is documents UNION documents -> every text twice
+    assert len(rows) == documents_df["text"].nunique()
+    assert all(r["n_copies"] >= 2 for r in rows)
+    # keep-first: doc_id is the minimum over the group
+    by_hash = {r["md5_hash"]: r for r in rows}
+    import hashlib
+
+    for r in documents_df.itertuples():
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        assert by_hash[h]["doc_id"] <= r.doc_id
+
+
+def test_minhash_finds_true_near_dups(sf_dir, documents_df):
+    rows = QUERIES["minhash_near_dups"](sf_dir).take_all()
+    texts = dict(zip(documents_df["doc_id"], documents_df["text"]))
+    # every reported pair is a TRUE near-dup (verified Jaccard >= 0.8)
+    for r in rows:
+        sa = shingles(texts[r["doc_a"]], 3)
+        sb = shingles(texts[r["doc_b"]], 3)
+        assert jaccard(sa, sb) >= 0.8
+        assert r["doc_a"] < r["doc_b"]
+    assert rows, "corpus contains near-dups the sketch must find"
+
+
+def test_simhash_pairs_are_close(sf_dir, documents_df):
+    rows = QUERIES["simhash_near_dups"](sf_dir).take_all()
+    texts = dict(zip(documents_df["doc_id"], documents_df["text"]))
+    for r in rows:
+        d = hamming64(simhash64(texts[r["doc_a"]]), simhash64(texts[r["doc_b"]]))
+        assert d == r["hamming"] <= 3
+
+
+def test_ngram_jaccard_self_similarity(sf_dir):
+    rows = QUERIES["ngram_jaccard"](sf_dir).take_all()
+    for r in rows:
+        assert 0.2 <= r["jaccard"] <= 1.0
+        assert r["doc_id"] != r["probe_id"]
+
+
+# ------------------------------------------------------------ textstats
+
+def test_token_stats_matches_python(sf_dir, documents_df):
+    import re
+
+    rows = {r["doc_id"]: r for r in QUERIES["token_stats"](sf_dir).take_all()}
+    for r in documents_df.head(50).itertuples():
+        got = rows[r.doc_id]
+        assert got["n_tokens"] == len(re.findall(r"\S+", r.text))
+        assert got["n_punct"] == len(re.findall(r"[.!?,;:]", r.text))
+
+
+def test_quality_ranges(sf_dir):
+    for r in QUERIES["quality"](sf_dir).take_all():
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert r["n_chars"] >= r["n_tokens"] >= 0
+
+
+def test_lang_id_detects_marker_languages(sf_dir):
+    from pdf_to_text_ray.stages.textstats import lang_id_batch
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog of the house is that big",
+                    "der Hund und die Katze das ist nicht mit ein",
+                    "le chat est dans la maison pour que les amis",
+                    "el perro es una de las cosas por para como",
+                ]
+            ),
+        }
+    )
+    out = lang_id_batch(t)
+    assert out["pred_lang"].to_pylist() == ["en", "de", "fr", "es"]
+
+
+def test_fingerprint_deterministic(sf_dir):
+    a = {r["doc_id"]: r for r in QUERIES["fingerprint"](sf_dir).take_all()}
+    b = {r["doc_id"]: r for r in QUERIES["fingerprint"](sf_dir).take_all()}
+    assert a == b
+
+
+# ----------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def embeddings(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, m
+
+
+def test_ann_topk_matches_numpy(sf_dir, embeddings):
+    ids, m = embeddings
+    rows = QUERIES["ann_cosine_topk"](sf_dir).take_all()
+    qmask, cmask = ids < 5, ids >= 5
+    qm = m[qmask] / np.linalg.norm(m[qmask], axis=1, keepdims=True)
+    cm = m[cmask] / np.linalg.norm(m[cmask], axis=1, keepdims=True)
+    sims = cm @ qm.T
+    cids = ids[cmask]
+    for qi, qid in enumerate(ids[qmask]):
+        col = sims[:, qi]
+        order = np.lexsort((cids, -col))[:10]
+        want = [int(cids[i]) for i in order]
+        got = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in rows if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want, f"query {qid}"
+
+
+def test_lsh_topk_recall(sf_dir):
+    brute = QUERIES["ann_cosine_topk"](sf_dir).take_all()
+    approx = QUERIES["lsh_topk"](sf_dir).take_all()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    # sf0.001 embeddings are random, so buckets are ~uniform: a 4-plane
+    # LSH scores ~1/16 of candidates; recall is bounded low by design.
+    assert len(a & b) / len(b) >= 0.05
+    # every approx sim must equal the brute-force sim for that pair
+    bsim = {(r["query_id"], r["vec_id"]): r["sim"] for r in brute}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in bsim:
+            assert abs(r["sim"] - bsim[key]) < 1e-9
+
+
+# ------------------------------------------------------------ summarize
+
+def test_summarize_sentences_come_from_doc(sf_dir, documents_df):
+    rows = {r["doc_id"]: r for r in QUERIES["summarize"](sf_dir).take_all()}
+    for r in documents_df.head(20).itertuples():
+        summ = rows[r.doc_id]["summary"]
+        assert summ == "" or all(
+            s.strip() in r.text for s in summ.split(". ") if s.strip()
+        ) or len(summ) <= len(r.text)
