@@ -22,6 +22,7 @@ from ray.data.aggregate import Count, Sum
 from ..config import DEFAULT_CONFIG
 from ..functions import scalar
 from ..stages import dedup as dedup_mod
+from ..stages import multimodal
 from ..stages import textstats
 from ..stages.combine import combine_page_headers, combine_reference_lex
 from ..stages.similarity import ann_topk, lsh_topk
@@ -545,6 +546,281 @@ def q_summarize(sf_dir: str):
     )
 
 
+# --------------------------------------------------- sentence pipeline
+
+_US = "\x1f"  # unit separator joins sentence lists into a flat column
+
+
+def q_sentence_split(sf_dir: str):
+    """Deterministic sentence splitter (reference: 5_NLP
+    sentence_splitter.py fallback). Sentences joined by US char so the
+    schema stays flat for the SQL oracle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        sents = [scalar.split_into_sentences(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_sentences": pa.array([len(s) for s in sents], pa.int64()),
+                "sentences": pa.array([_US.join(s) for s in sents], pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# RE2 (DuckDB) has no lookbehind: mark boundaries, then split.
+SQL_SENTENCE_SPLIT = f"""
+WITH marked AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(
+        regexp_replace(trim(text), '([.!?])\\s+', '\\1{_US}', 'g'),
+        '{_US}'),
+      s -> s <> '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(sents) AS BIGINT) AS n_sentences,
+  list_aggregate(sents, 'string_agg', '{_US}') AS sentences
+FROM marked
+"""
+
+
+def q_prepare_text(sf_dir: str):
+    """normalize ∘ clean ∘ split composition (5_NLP/nlp/prepare.py:7-20)
+    — chained map_batches stages fused by the streaming planner."""
+    ds = _read_documents(sf_dir)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(
+                    [scalar.normalize_text(x) for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(
+                    [scalar.clean_text(x) for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def split(t: pa.Table) -> pa.Table:
+        sents = [scalar.split_into_sentences(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": t["text"],
+                "n_sentences": pa.array([len(s) for s in sents], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(norm, batch_format="pyarrow")
+        .map_batches(clean, batch_format="pyarrow")
+        .map_batches(split, batch_format="pyarrow")
+    )
+
+
+_SQL_NORM_EXPR = """
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    lower(text), '-\\s*\\n\\s*', '', 'g'), '\\n\\s*\\n+', chr(10), 'g'),
+    '[•◦·▪▶►✓✔~]', '', 'g'), '\\s+', ' ', 'g'))
+"""
+
+SQL_PREPARE_TEXT = f"""
+WITH n AS (
+  SELECT doc_id, {_SQL_NORM_EXPR} AS text FROM documents
+), c AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(text,
+      '[^\\x00-\\x7F]+', ' ', 'g'),
+      'http\\S+|www\\S+', '', 'g'),
+      '\\S+@\\S+', '', 'g'),
+      '([!?.,]){{2,}}', '\\1', 'g'),
+      '[^a-zA-Z0-9\\s\\.\\?\\!]', ' ', 'g'),
+      '\\s+', ' ', 'g')) AS clean_text
+  FROM n
+)
+SELECT doc_id, clean_text,
+  CAST(CASE WHEN trim(clean_text) = '' THEN 0
+       ELSE length(list_filter(
+         string_split(regexp_replace(trim(clean_text),
+           '([.!?])\\s+', '\\1{_US}', 'g'), '{_US}'),
+         s -> s <> '')) END AS BIGINT) AS n_sentences
+FROM c
+"""
+
+
+# ---------------------------------------------------------- multimodal
+
+def _with_media(sf_dir: str, maker):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media": pa.array([maker(i) for i in ids], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def q_image_decode(sf_dir: str):
+    """Opaque binary image column -> typed metadata via the actor-pool
+    decoder (engine pinned per actor; stub in-sandbox)."""
+    return _with_media(sf_dir, multimodal.make_image).map_batches(
+        multimodal.ImageDecoder,
+        fn_constructor_kwargs={"engine": "stub"},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+
+
+SQL_IMAGE_DECODE = """
+SELECT doc_id,
+  CAST(64 + (doc_id * 31) % 960 AS INTEGER) AS width,
+  CAST(64 + (doc_id * 17) % 960 AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+  TRUE AS decode_ok
+FROM documents
+"""
+
+
+def q_image_resize(sf_dir: str):
+    ds = _with_media(sf_dir, multimodal.make_image).map_batches(
+        multimodal.ImageResizer,
+        fn_constructor_kwargs={"max_w": 256, "max_h": 256, "engine": "stub"},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+    return ds.select_columns(["doc_id", "resized_w", "resized_h"])
+
+
+SQL_IMAGE_RESIZE = """
+WITH dims AS (
+  SELECT doc_id,
+    CAST(64 + (doc_id * 31) % 960 AS DOUBLE) AS w,
+    CAST(64 + (doc_id * 17) % 960 AS DOUBLE) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CAST(greatest(1, floor(w * least(1.0, 256.0 / w, 256.0 / h))) AS INTEGER)
+    AS resized_w,
+  CAST(greatest(1, floor(h * least(1.0, 256.0 / w, 256.0 / h))) AS INTEGER)
+    AS resized_h
+FROM dims
+"""
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Video rows exploded to sampled frames (stride 10) — the
+    page-explode pattern applied to media."""
+    return _with_media(sf_dir, multimodal.make_video).map_batches(
+        multimodal.FrameSampler,
+        fn_constructor_kwargs={"stride": 10, "engine": "stub"},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+
+
+SQL_VIDEO_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 24 ELSE 30 END) AS fps,
+    10 + (doc_id * 13) % 290 AS n_frames
+  FROM documents
+)
+, frames AS (
+  SELECT doc_id, fps, unnest(range(0, n_frames, 10)) AS f FROM v
+)
+SELECT doc_id,
+  CAST(f AS INTEGER) AS frame_no,
+  CAST(f AS DOUBLE) / fps AS ts_sec
+FROM frames
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Batched 'model inference' stand-in: deterministic 64-d embedding
+    per media payload (actor pool; rows-only check, pytest-pinned)."""
+    return _with_media(sf_dir, multimodal.make_image).map_batches(
+        multimodal.MediaFeatureExtractor,
+        fn_constructor_kwargs={"engine": "stub"},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+    )
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+def q_embedding_near_dups(sf_dir: str):
+    """All candidate pairs with cosine >= 0.1 (blocked matmul per batch
+    against the broadcast candidate matrix; the LSH-bucketed variant is
+    the scale path — lsh_topk)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import numpy as np
+
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cand_ref = ray.put((ids, m))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        cids, cm = ray.get(cand_ref)
+        bm = _np.array(batch["embedding"].to_pylist(), dtype=_np.float64)
+        bm = bm / _np.linalg.norm(bm, axis=1, keepdims=True)
+        bids = _np.array(batch["vec_id"].to_pylist(), dtype=_np.int64)
+        sims = bm @ cm.T
+        a, b, s = [], [], []
+        for i in range(len(bids)):
+            mask = (sims[i] >= 0.1) & (cids > bids[i])
+            for j in _np.nonzero(mask)[0]:
+                a.append(int(bids[i]))
+                b.append(int(cids[j]))
+                s.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "sim": pa.array(s, pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(score, batch_format="pyarrow", batch_size=512)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.1
+"""
+
+
 # ---------------------------------------------------------- registries
 
 QUERIES = {
@@ -569,6 +845,13 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "events_hourly": q_events_hourly,
     "summarize": q_summarize,
+    "sentence_split": q_sentence_split,
+    "prepare_text": q_prepare_text,
+    "image_decode": q_image_decode,
+    "image_resize": q_image_resize,
+    "video_frame_sample": q_video_frame_sample,
+    "media_features": q_media_features,
+    "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLE_SQL = {
@@ -587,4 +870,10 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "sentence_split": SQL_SENTENCE_SPLIT,
+    "prepare_text": SQL_PREPARE_TEXT,
+    "image_decode": SQL_IMAGE_DECODE,
+    "image_resize": SQL_IMAGE_RESIZE,
+    "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
 }
