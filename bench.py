@@ -44,8 +44,16 @@ BENCH_QUERIES = [
     "fingerprint",
     "ann_cosine_topk",
     "lsh_topk",
+    "embedding_near_dups",
     "events_hourly",
     "summarize",
+    "sentence_split",
+    "prepare_text",
+    "chunk_pages",
+    "longest_docs",
+    "image_decode",
+    "video_frame_sample",
+    "media_features",
 ]
 HEADLINE = "extract_e2e"
 

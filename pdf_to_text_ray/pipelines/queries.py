@@ -546,6 +546,81 @@ def q_summarize(sf_dir: str):
     )
 
 
+# --------------------------------------------- chunker / sort / limit
+
+def q_chunk_pages(sf_dir: str):
+    """Reference page chunker (chunk_pages(pages, 5) —
+    core_document_processing.py:196-199) + chunk-level join with the
+    '\\n\\n---\\n\\n' separator (A2, :280). One row per (doc, chunk)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, chunk_texts = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            pages = paginate(text, WORDS_PER_PAGE)
+            for c in range(0, len(pages), 5):
+                doc_ids.append(did)
+                chunk_ids.append(c // 5)
+                chunk_texts.append("\n\n---\n\n".join(pages[c : c + 5]))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_id": pa.array(chunk_ids, pa.int64()),
+                "chunk_text": pa.array(chunk_texts, pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CHUNK_PAGES = _SQL_PAGES_CTE + """
+SELECT doc_id,
+  CAST(pno // 5 AS BIGINT) AS chunk_id,
+  string_agg(ptext, chr(10) || chr(10) || '---' || chr(10) || chr(10)
+             ORDER BY pno) AS chunk_text
+FROM pages GROUP BY doc_id, pno // 5
+"""
+
+
+def q_longest_docs(sf_dir: str):
+    """Global sort + limit (O2's global top-k shape): 20 longest docs."""
+    ds = _read_documents(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(t["text"]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_LONGEST_DOCS = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_size_class_counts(sf_dir: str):
+    """Grouped metrics by payload size class (skew bucketing evidence).
+    Payload bytes depend on zlib output — rows-only check; invariants
+    pinned by pytest."""
+    docs = synthesize_docs(sf_dir)
+    ds = docs.map_batches(
+        make_sniffer(DEFAULT_CONFIG), batch_format="pyarrow", batch_size=None
+    )
+    return ds.groupby("size_class").aggregate(
+        Count(alias_name="n_docs"), Sum("n_bytes", alias_name="total_bytes")
+    )
+
+
 # --------------------------------------------------- sentence pipeline
 
 _US = "\x1f"  # unit separator joins sentence lists into a flat column
@@ -845,6 +920,9 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "events_hourly": q_events_hourly,
     "summarize": q_summarize,
+    "chunk_pages": q_chunk_pages,
+    "longest_docs": q_longest_docs,
+    "size_class_counts": q_size_class_counts,
     "sentence_split": q_sentence_split,
     "prepare_text": q_prepare_text,
     "image_decode": q_image_decode,
@@ -870,6 +948,8 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "chunk_pages": SQL_CHUNK_PAGES,
+    "longest_docs": SQL_LONGEST_DOCS,
     "sentence_split": SQL_SENTENCE_SPLIT,
     "prepare_text": SQL_PREPARE_TEXT,
     "image_decode": SQL_IMAGE_DECODE,
