@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "lsh_topk",
     "embedding_near_dups",
     "events_hourly",
+    "events_sessionize",
+    "events_asof_orders",
+    "join_orders_segment",
     "summarize",
     "sentence_split",
     "prepare_text",

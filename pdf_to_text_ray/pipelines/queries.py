@@ -23,6 +23,7 @@ from ..config import DEFAULT_CONFIG
 from ..functions import scalar
 from ..stages import dedup as dedup_mod
 from ..stages import multimodal
+from ..stages import relational
 from ..stages import textstats
 from ..stages.combine import combine_page_headers, combine_reference_lex
 from ..stages.similarity import ann_topk, lsh_topk
@@ -546,6 +547,102 @@ def q_summarize(sf_dir: str):
     )
 
 
+# ------------------------------------------ relational / stream ops
+
+def q_join_orders_segment(sf_dir: str):
+    """orders ⋈ customer (hash-partitioned Dataset.join) → revenue per
+    market segment."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return relational.orders_by_segment(orders, customer)
+
+
+SQL_JOIN_ORDERS_SEGMENT = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return relational.sessionize(events)
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM y GROUP BY user_id, session_id
+"""
+
+
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event annotated with the user's most recent
+    order date at event time (broadcast small side + searchsorted)."""
+    orders_tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    lookup_ref = ray.put(relational.make_asof_lookup(orders_tbl))
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return events.map_batches(
+        relational.make_asof_join(lookup_ref),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup clusters: verified MinHash pairs -> connected
+    components (doc_id, cluster_id). Not SQL-expressible without
+    recursion — rows-only; pinned by pytest."""
+    pairs_ds = q_minhash_near_dups(sf_dir)
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_ds.take_all()]
+    clusters = relational.cluster_pairs(pairs)
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(clusters), pa.int64()),
+            "cluster_id": pa.array(
+                [clusters[d] for d in sorted(clusters)], pa.int64()
+            ),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
 # --------------------------------------------- chunker / sort / limit
 
 def q_chunk_pages(sf_dir: str):
@@ -920,6 +1017,10 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "events_hourly": q_events_hourly,
     "summarize": q_summarize,
+    "join_orders_segment": q_join_orders_segment,
+    "events_sessionize": q_events_sessionize,
+    "events_asof_orders": q_events_asof_orders,
+    "dup_clusters": q_dup_clusters,
     "chunk_pages": q_chunk_pages,
     "longest_docs": q_longest_docs,
     "size_class_counts": q_size_class_counts,
@@ -948,6 +1049,9 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "join_orders_segment": SQL_JOIN_ORDERS_SEGMENT,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "chunk_pages": SQL_CHUNK_PAGES,
     "longest_docs": SQL_LONGEST_DOCS,
     "sentence_split": SQL_SENTENCE_SPLIT,

@@ -1,0 +1,162 @@
+"""Relational / stream-shaped operators over the TPC-H-ish tables.
+
+The reference has no joins (SURVEY.md §2.4 — its only association is
+the filesystem naming convention), but a complete data-processing
+engine needs them; these follow the Ray guide patterns:
+
+* large ⋈ large  -> ``Dataset.join`` (hash-partitioned) when available,
+  with the explicit bucket-hash fallback documented.
+* large ⋈ small  -> broadcast the small side via ``ray.put`` and look
+  up inside ``map_batches`` (no shuffle).
+* as-of join     -> broadcast small side sorted per key + numpy
+  ``searchsorted`` per batch.
+* sessionization -> ``groupby(user).map_groups`` over ts-sorted groups
+  (Ray Data has no event-time windows; the ordering assumption is
+  sort-within-group, which map_groups guarantees after the shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+# ------------------------------------------------------------- join
+
+def orders_by_segment(
+    orders: ray.data.Dataset, customer: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """orders ⋈ customer (hash-partitioned large-large join) →
+    per-mktsegment order count + revenue.
+
+    Revenue is summed in integer CENTS: float sums depend on
+    accumulation order, so a parallel engine can round differently from
+    a serial oracle at a .005 boundary — exact integers can't."""
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pa.compute.cast(
+            pa.compute.round(
+                pa.compute.multiply(t["o_totalprice"], pa.scalar(100.0))
+            ),
+            pa.int64(),
+        )
+        return t.append_column("price_cents", cents)
+
+    return (
+        joined.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+# ------------------------------------------------------ sessionization
+
+def _sessionize_group(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    # normalize to microseconds regardless of the pandas datetime unit
+    # (arrow timestamp[us] -> datetime64[ns] in pandas<2 would otherwise
+    # make the gap constant off by 1000x)
+    ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+    new_session = (ts_us.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US)
+    df = df.assign(session_id=new_session.cumsum().astype("int64") - 1)
+    g = df.groupby("session_id", sort=True)
+    out = pd.DataFrame(
+        {
+            "user_id": g["user_id"].first(),
+            "session_id": g["session_id"].first(),
+            "n_events": g.size().astype("int64"),
+            "start_ts": g["ts"].min(),
+            "end_ts": g["ts"].max(),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def sessionize(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Session windows (30-min inactivity gap) per user —
+    ``groupby(user_id).map_groups`` over the ts-sorted group."""
+    return events.groupby("user_id").map_groups(
+        _sessionize_group, batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------------- as-of
+
+def make_asof_lookup(orders_tbl: pa.Table):
+    """Broadcastable per-user sorted order-date arrays."""
+    df = orders_tbl.to_pandas()
+    out: dict[int, np.ndarray] = {}
+    for uid, g in df.groupby("o_custkey", sort=False):
+        out[int(uid)] = np.sort(g["o_orderdate"].astype("int64").to_numpy())
+    return out
+
+
+def make_asof_join(lookup_ref):
+    """events batch -> + last_order_date (most recent order with
+    o_orderdate <= ts for the same user; NaT when none). Broadcast
+    small side + searchsorted: the semi-join shape, no shuffle."""
+
+    def asof(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        ts = pa.compute.cast(batch["ts"], pa.int64()).to_pylist()
+        uids = batch["user_id"].to_pylist()
+        matched: list[int | None] = []
+        for uid, t in zip(uids, ts):
+            dates = lookup.get(uid)
+            if dates is None:
+                matched.append(None)
+                continue
+            i = int(np.searchsorted(dates, t, side="right")) - 1
+            matched.append(int(dates[i]) if i >= 0 else None)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "last_order_date": pa.array(matched, pa.timestamp("us")),
+            }
+        )
+
+    return asof
+
+
+# ------------------------------------------------- near-dup clustering
+
+def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over verified near-dup pairs (driver-side — the
+    candidate set is orders of magnitude smaller than the corpus by
+    construction; an iterative min-label-propagation groupby is the
+    distributed fallback). Returns doc_id -> cluster_id (min member)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}

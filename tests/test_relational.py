@@ -1,0 +1,109 @@
+"""Relational / stream-shaped operators: sessionization boundaries,
+as-of join edges, near-dup clustering transitivity, hash join."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pdf_to_text_ray.stages import relational
+
+
+def _events(rows):
+    return pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts"]
+    ).astype({"event_id": "int64", "user_id": "int64"})
+
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def test_sessionize_splits_on_gap():
+    df = _events(
+        [
+            (1, 7, T0),
+            (2, 7, T0 + timedelta(minutes=10)),
+            (3, 7, T0 + timedelta(minutes=29)),   # still session 0 vs prev
+            (4, 7, T0 + timedelta(minutes=75)),   # 46-min gap -> session 1
+            (5, 7, T0 + timedelta(minutes=80)),
+        ]
+    )
+    out = relational._sessionize_group(df)
+    assert out["session_id"].tolist() == [0, 1]
+    assert out["n_events"].tolist() == [3, 2]
+    assert out["start_ts"].tolist() == [T0, T0 + timedelta(minutes=75)]
+    assert out["end_ts"].tolist() == [
+        T0 + timedelta(minutes=29), T0 + timedelta(minutes=80)
+    ]
+
+
+def test_sessionize_exact_gap_is_same_session():
+    df = _events([(1, 7, T0), (2, 7, T0 + timedelta(minutes=30))])
+    out = relational._sessionize_group(df)
+    assert out["session_id"].tolist() == [0]  # strict > gap splits
+
+
+def test_asof_join_edges():
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            "o_orderdate": pa.array(
+                [T0, T0 + timedelta(days=5), T0 + timedelta(days=1)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    lookup_ref = ray.put(relational.make_asof_lookup(orders))
+    batch = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 8, 99], pa.int64()),
+            "ts": pa.array(
+                [
+                    T0 - timedelta(days=1),       # before first order -> null
+                    T0 + timedelta(days=9),       # after both -> day-5 order
+                    T0 + timedelta(days=1),       # exact match ts==date
+                    T0,                           # unknown user -> null
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = relational.make_asof_join(lookup_ref)(batch).to_pylist()
+    assert out[0]["last_order_date"] is None
+    assert out[1]["last_order_date"] == T0 + timedelta(days=5)
+    assert out[2]["last_order_date"] == T0 + timedelta(days=1)
+    assert out[3]["last_order_date"] is None
+
+
+def test_cluster_pairs_transitive():
+    clusters = relational.cluster_pairs([(5, 9), (9, 2), (11, 12)])
+    assert clusters[5] == clusters[9] == clusters[2] == 2
+    assert clusters[11] == clusters[12] == 11
+
+
+def test_hash_join_matches_pandas(sf_dir):
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    got = {
+        r["c_mktsegment"]: r["n_orders"]
+        for r in relational.orders_by_segment(orders, customer).take_all()
+    }
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    c = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    want = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby("c_mktsegment")
+        .size()
+        .to_dict()
+    )
+    assert got == want
