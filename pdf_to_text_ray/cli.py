@@ -1,0 +1,94 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+    ray job submit -- python -m pdf_to_text_ray.cli \
+        --sf-dir /root/testdata/sf0.01 --output /tmp/extracted --resume
+
+Owns the Ray session (guarded init: under ``ray job submit`` the
+cluster connection already exists). The library itself never calls
+ray.init — see __ray_entry__.py for the driver-side contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdf_to_text_ray")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--output", default=None,
+                    help="checkpointed parquet output dir (resumable)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip partitions whose lineage already exists")
+    ap.add_argument("--dedup-mode", choices=["broadcast", "shuffle"],
+                    default="broadcast")
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local mode only; ignored when a cluster exists")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, logging_level=logging.ERROR)
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+
+    from dataclasses import replace
+
+    from .config import DEFAULT_CONFIG
+    from .pipelines.extract import (
+        run_extraction,
+        stale_droplist,
+        synthesize_docs,
+        synthesize_keys,
+    )
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        dedup_mode=args.dedup_mode,
+        num_partitions=args.num_partitions,
+        output_dir=args.output,
+    )
+
+    if args.output:
+        from .state.checkpoint import completed_partitions, run_checkpointed
+
+        if not args.resume:
+            done = completed_partitions(args.output)
+            if done:
+                print(
+                    f"output dir has {len(done)} completed partitions; "
+                    "pass --resume to skip them or use a fresh dir",
+                    file=sys.stderr,
+                )
+                return 2
+        dups = stale_droplist(synthesize_keys(args.sf_dir, args.repeat))
+        res = run_checkpointed(
+            synthesize_docs(args.sf_dir, args.repeat), cfg, dups
+        )
+        summary = {
+            "computed_partitions": res["computed"],
+            "skipped_partitions": res["skipped"],
+            "urls": int(res["lineage"]["urls"].sum()) if res["computed"] else 0,
+            "docs_failed": int(res["lineage"]["docs_failed"].sum())
+            if res["computed"] else 0,
+            "output": args.output,
+        }
+    else:
+        ds = run_extraction(args.sf_dir, cfg, repeat=args.repeat)
+        n = ds.count()
+        summary = {"urls": n, "output": None}
+
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
