@@ -113,52 +113,59 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     return sorted(n for n, b in objs.items() if _RE_TYPE_PAGE.search(b))
 
 
+# position-anchored patterns: .match(data, i) never copies the buffer
+# (the naive re.match(pat, data[i:]) slice made tokenizing O(n^2))
+_RE_TOK_NUM = re.compile(rb"[-+0-9.]+")
+_RE_TOK_NAME = re.compile(rb"/[^\s\[\]<>()/%]*")
+_RE_TOK_OP = re.compile(rb"[A-Za-z'\"*]+")
+_WS_SET = frozenset(b" \t\r\n\x00")
+_NUM_START = frozenset(b"-+.0123456789")
+
+
 def _tokenize_content(data: bytes):
     """Yield ('str', s) / ('num', f) / ('op', name) / ('arr', list) tokens."""
     i, n = 0, len(data)
     while i < n:
-        c = data[i : i + 1]
-        if c in b" \t\r\n\x00":
+        c = data[i]
+        if c in _WS_SET:
             i += 1
-        elif c == b"%":  # comment to EOL
+        elif c == 0x25:  # '%' comment to EOL
             j = data.find(b"\n", i)
             i = n if j == -1 else j + 1
-        elif c == b"(":
+        elif c == 0x28:  # '('
             s, i = _parse_string(data, i)
             yield ("str", s)
-        elif c == b"[":
+        elif c == 0x5B:  # '['
             arr = []
             i += 1
-            while i < n and data[i : i + 1] != b"]":
-                c2 = data[i : i + 1]
-                if c2 in b" \t\r\n":
+            while i < n and data[i] != 0x5D:  # ']'
+                c2 = data[i]
+                if c2 in _WS_SET:
                     i += 1
-                elif c2 == b"(":
+                elif c2 == 0x28:
                     s, i = _parse_string(data, i)
                     arr.append(("str", s))
                 else:
-                    m = re.match(rb"[-+0-9.]+", data[i:])
+                    m = _RE_TOK_NUM.match(data, i)
                     if m:
                         arr.append(("num", float(m.group(0))))
-                        i += m.end()
+                        i = m.end()
                     else:
                         i += 1  # unknown token inside array: skip
             i += 1
             yield ("arr", arr)
-        elif c == b"/":
-            m = re.match(rb"/[^\s\[\]<>()/%]*", data[i:])
-            i += m.end()
+        elif c == 0x2F:  # '/'
+            m = _RE_TOK_NAME.match(data, i)
+            i = m.end()
             yield ("name", m.group(0).decode("latin-1"))
-        elif re.match(rb"[-+0-9.]", c):
-            m = re.match(rb"[-+0-9.]+", data[i:])
-            i += m.end()
+        elif c in _NUM_START:
+            m = _RE_TOK_NUM.match(data, i)
+            i = m.end()
             try:
                 yield ("num", float(m.group(0)))
             except ValueError:
                 pass
-        elif c == b"<":
-            # hex string or dict — skip to the matching close (not emitted
-            # by our generator inside content; tolerated for robustness)
+        elif c == 0x3C:  # '<': hex string or dict — skip to close
             if data[i : i + 2] == b"<<":
                 j = data.find(b">>", i)
                 i = n if j == -1 else j + 2
@@ -166,9 +173,9 @@ def _tokenize_content(data: bytes):
                 j = data.find(b">", i)
                 i = n if j == -1 else j + 1
         else:
-            m = re.match(rb"[A-Za-z'\"*]+", data[i:])
+            m = _RE_TOK_OP.match(data, i)
             if m:
-                i += m.end()
+                i = m.end()
                 yield ("op", m.group(0).decode("latin-1"))
             else:
                 i += 1
@@ -216,9 +223,15 @@ def _parse_string(data: bytes, i: int) -> tuple[str, int]:
             out.append(")")
             i += 1
         else:
-            out.append(chr(b))
-            i += 1
+            # bulk-copy the run up to the next special byte instead of
+            # appending char-by-char
+            m = _RE_STR_PLAIN.match(data, i)
+            out.append(m.group(0).decode("latin-1"))
+            i = m.end()
     return "".join(out), i
+
+
+_RE_STR_PLAIN = re.compile(rb"[^\\()]+")
 
 
 def extract_runs(content: bytes) -> list[_Run]:
