@@ -197,7 +197,7 @@ def main() -> None:
     ap.add_argument(
         "--repeat",
         type=int,
-        default=int(os.environ.get("GRAFT_BENCH_REPEAT", "256")),
+        default=int(os.environ.get("GRAFT_BENCH_REPEAT", "512")),
         help="deterministic corpus amplification for scaling runs",
     )
     args = ap.parse_args()
