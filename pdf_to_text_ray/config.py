@@ -30,20 +30,21 @@ class PipelineConfig:
     size_medium: int = 64 * 1024
     size_large: int = 1024 * 1024
 
-    # --- stage sizing ---
-    # The synthesize/sniff/extract/OCR maps FUSE into one operator whose
-    # input-bundling unit is the stage batch_size — a large value here
-    # caps pipeline parallelism (5000 rows / 4096 = 2 tasks!), so every
-    # stage in the fused chain uses the same small docs-per-task batch.
+    # --- stage sizing (shuffle-path pages pipeline only) ---
+    # The broadcast path uses batch_size=None (whole blocks; task
+    # granularity = read num_blocks). In the shuffle path the fused
+    # chain bundles inputs at the chain's MAX batch_size — a large value
+    # here caps pipeline parallelism (5000 rows / 4096 = 2 tasks!), so
+    # every fused stage shares the same small docs-per-task batch. Skew
+    # from huge docs is bounded by block BYTES (dynamic block splitting
+    # at DataContext.target_max_block_size), not row counts.
     sniff_batch_size: int = 64
     extract_batch_size: int = 64  # docs per parse batch (heavy stage -> small)
-    extract_batch_size_xl: int = 1
     ocr_batch_size: int = 64  # pages per OCR batch
     # OCR actor-pool size. None -> autoscaling (1, cluster CPUs): Ray
     # fuses the upstream stateless stages into this actor pool, so a
     # fixed small pool would cap the WHOLE pipeline's parallelism.
     ocr_concurrency: int | tuple | None = None
-    combine_num_blocks: int | None = None  # post-shuffle block count (None -> Ray default)
 
     # --- dedup strategy ---
     # "broadcast": pruned-column pre-pass computes the winner ts per

@@ -115,22 +115,30 @@ def make_asof_join(lookup_ref):
 
     def asof(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
-        ts = pa.compute.cast(batch["ts"], pa.int64()).to_pylist()
-        uids = batch["user_id"].to_pylist()
-        matched: list[int | None] = []
-        for uid, t in zip(uids, ts):
-            dates = lookup.get(uid)
+        ts = pa.compute.cast(batch["ts"], pa.int64()).to_numpy()
+        uids = batch["user_id"].to_numpy()
+        matched = np.full(len(uids), np.int64(0), dtype="int64")
+        valid = np.zeros(len(uids), dtype=bool)
+        # one vectorized searchsorted per distinct user in the batch
+        for uid in np.unique(uids):
+            dates = lookup.get(int(uid))
             if dates is None:
-                matched.append(None)
                 continue
-            i = int(np.searchsorted(dates, t, side="right")) - 1
-            matched.append(int(dates[i]) if i >= 0 else None)
+            sel = uids == uid
+            idx = np.searchsorted(dates, ts[sel], side="right") - 1
+            ok = idx >= 0
+            rows = np.nonzero(sel)[0]
+            matched[rows[ok]] = dates[idx[ok]]
+            valid[rows[ok]] = True
+        matched_list = [
+            int(m) if v else None for m, v in zip(matched, valid)
+        ]
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "ts": batch["ts"],
-                "last_order_date": pa.array(matched, pa.timestamp("us")),
+                "last_order_date": pa.array(matched_list, pa.timestamp("us")),
             }
         )
 
