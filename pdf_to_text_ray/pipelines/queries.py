@@ -643,6 +643,16 @@ def q_dup_clusters(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
+def q_dup_clusters_distributed(sf_dir: str):
+    """Same components via distributed min-label propagation (the
+    10^12-doc path: no driver state beyond the loop counter). Pytest
+    asserts it matches the union-find result exactly."""
+    pairs_ds = q_minhash_near_dups(sf_dir).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+    return relational.cluster_pairs_distributed(pairs_ds)
+
+
 # --------------------------------------------- chunker / sort / limit
 
 def q_chunk_pages(sf_dir: str):
@@ -1021,6 +1031,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
     "dup_clusters": q_dup_clusters,
+    "dup_clusters_distributed": q_dup_clusters_distributed,
     "chunk_pages": q_chunk_pages,
     "longest_docs": q_longest_docs,
     "size_class_counts": q_size_class_counts,

@@ -147,6 +147,115 @@ def make_asof_join(lookup_ref):
 
 # ------------------------------------------------- near-dup clustering
 
+def cluster_pairs_distributed(
+    edges: ray.data.Dataset, max_iters: int = 20
+) -> ray.data.Dataset:
+    """Connected components over an edge Dataset (doc_a, doc_b) by
+    iterative min-label propagation — the distributed path for
+    candidate sets too large for driver union-find.
+
+    Each round: every node's label becomes min(own, neighbors') via one
+    groupby; converged when no label changes. Rounds needed =
+    graph diameter (near-dup clusters are shallow: a few rounds).
+
+    -> (doc_id, cluster_id)
+    """
+    import pyarrow.compute as pc
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+                ),
+                "label": pa.concat_arrays(
+                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+                ),
+            }
+        )
+
+    # labels(node) = node, deduped
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "label"]),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    # adjacency rows tagged dst>=0; the label row per node is dst=-1.
+    # The per-round lookup (label of src forwarded to each dst) is a
+    # CO-GROUP: union the edge rows with the label rows and group by
+    # src — schema-stable, unlike chaining hash joins whose empty
+    # partitions emit zero-column blocks.
+    both_dirs = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()]
+                ),
+                "label": pa.nulls(2 * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        lbl = group["label"].dropna()
+        dsts = group.loc[group["dst"] >= 0, "dst"]
+        if lbl.empty or dsts.empty:
+            return pd.DataFrame({"node": [], "label": []}).astype(
+                {"node": "int64", "label": "int64"}
+            )
+        return pd.DataFrame(
+            {"node": dsts.astype("int64"), "label": int(lbl.min())}
+        )
+
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["node"],
+                    "dst": pa.nulls(t.num_rows, pa.int64()).fill_null(-1),
+                    "label": t["label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = (
+            both_dirs.union(tagged_labels)
+            .groupby("src")
+            .map_groups(propagate, batch_format="pandas")
+            # normalize to arrow blocks: union() refuses mixed block types
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # convergence: label multiset unchanged => fixed point (labels
+        # only ever decrease, so sum is a sufficient monotone witness)
+        if new_labels.sum("label") == labels.sum("label"):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find over verified near-dup pairs (driver-side — the
     candidate set is orders of magnitude smaller than the corpus by

@@ -107,3 +107,39 @@ def test_hash_join_matches_pandas(sf_dir):
         .to_dict()
     )
     assert got == want
+
+
+def test_cluster_pairs_distributed_matches_unionfind():
+    import pyarrow as pa
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in relational.cluster_pairs_distributed(ds).take_all()
+    }
+    want = relational.cluster_pairs(edges)
+    assert got == want
+    assert got[4] == 1 and got[12] == 10 and got[21] == 20
+
+
+def test_distributed_clusters_match_unionfind_on_corpus(sf_dir):
+    from pdf_to_text_ray.pipelines.queries import (
+        q_dup_clusters,
+        q_dup_clusters_distributed,
+    )
+
+    a = {r["doc_id"]: r["cluster_id"] for r in q_dup_clusters(sf_dir).take_all()}
+    b = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dup_clusters_distributed(sf_dir).take_all()
+    }
+    assert a == b and a
