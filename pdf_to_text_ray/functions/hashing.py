@@ -117,31 +117,38 @@ def jaccard(a: set, b: set) -> float:
 
 def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
-    rolling polynomial hash over char k-grams, keep the min hash of each
-    window (rightmost min), dedup consecutive picks."""
+    polynomial hash over char k-grams (base 257 mod 2^32 — any rolling
+    hash family qualifies; this one vectorizes), keep the min hash of
+    each window (rightmost min), dedup consecutive picks.
+
+    Fully numpy: k shifted multiply-adds for the gram hashes, a
+    sliding-window argmin on the reversed window for rightmost-min
+    selection — no per-character python loop.
+    """
     s = text.lower()
     n = len(s)
     if n < k:
         return [stable_u64(s) & _MAX_HASH] if s else []
-    base, mod = 257, _MERSENNE
-    # rolling hashes of all k-grams
-    h = 0
-    top = pow(base, k - 1, mod)
-    hashes = np.empty(n - k + 1, dtype=np.uint64)
-    for i in range(k):
-        h = (h * base + ord(s[i])) % mod
-    hashes[0] = h
-    for i in range(1, n - k + 1):
-        h = ((h - ord(s[i - 1]) * top) * base + ord(s[i + k - 1])) % mod
-        hashes[i] = h
-    hashes = hashes & _MAX_HASH
-    out: list[int] = []
-    prev_idx = -1
-    for w in range(len(hashes) - window + 1):
-        win = hashes[w : w + window]
-        # rightmost minimum
-        idx = w + (window - 1 - int(np.argmin(win[::-1])))
-        if idx != prev_idx:
-            out.append(int(hashes[idx]))
-            prev_idx = idx
-    return out
+    codes = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+    # utf-8 may change length; recompute n over bytes (deterministic)
+    n = len(codes)
+    if n < k:
+        return [stable_u64(s) & _MAX_HASH]
+    base = np.uint64(257)
+    m = n - k + 1
+    hashes = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k=5 iterations, each a vectorized mul-add
+        hashes = hashes * base + codes[j : j + m]
+    hashes &= np.uint64(_MAX_HASH)  # mod 2^32
+    if m < window:
+        idx = m - 1 - int(np.argmin(hashes[::-1]))
+        return [int(hashes[idx])]
+    # rightmost min per window: argmin over the reversed-column view
+    win = np.lib.stride_tricks.sliding_window_view(hashes, window)[:, ::-1]
+    rel = window - 1 - np.argmin(win, axis=1)
+    idx = np.arange(len(rel)) + rel
+    # dedup consecutive picks (same winnowing semantics as the loop)
+    keep = np.empty(len(idx), dtype=bool)
+    keep[0] = True
+    keep[1:] = idx[1:] != idx[:-1]
+    return [int(h) for h in hashes[idx[keep]]]

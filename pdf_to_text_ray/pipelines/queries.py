@@ -536,6 +536,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 1-hour window (15-min slide) count per user: each event
+    explodes to its 4 covering windows map-side (partial counts), then
+    one small groupby over the partials."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        slot = df["ts"].astype("datetime64[us]").astype("int64") // (900 * 1_000_000)
+        frames = []
+        for j in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {"user_id": df["user_id"], "window_start": (slot - j) * 900}
+                )
+            )
+        g = (
+            pd.concat(frames)
+            .groupby(["user_id", "window_start"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        return pa.Table.from_pandas(
+            g.astype(
+                {"user_id": "int64", "window_start": "int64", "n_events": "int64"}
+            ),
+            preserve_index=False,
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]
+    ).aggregate(Sum("n_events", alias_name="n_events"))
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot FROM events
+), exploded AS (
+  SELECT user_id, slot, unnest(range(0, 4)) AS j FROM e
+)
+SELECT user_id, CAST((slot - j) * 900 AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM exploded GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------- summarize
 
 def q_summarize(sf_dir: str):
@@ -1026,6 +1076,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "summarize": q_summarize,
     "join_orders_segment": q_join_orders_segment,
     "events_sessionize": q_events_sessionize,
@@ -1060,6 +1111,7 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "join_orders_segment": SQL_JOIN_ORDERS_SEGMENT,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
