@@ -100,12 +100,17 @@ def sessionize(events: ray.data.Dataset) -> ray.data.Dataset:
 # ------------------------------------------------------------- as-of
 
 def make_asof_lookup(orders_tbl: pa.Table):
-    """Broadcastable per-user sorted order-date arrays."""
-    df = orders_tbl.to_pandas()
-    out: dict[int, np.ndarray] = {}
-    for uid, g in df.groupby("o_custkey", sort=False):
-        out[int(uid)] = np.sort(g["o_orderdate"].astype("int64").to_numpy())
-    return out
+    """Broadcastable CSR-style lookup: (sorted unique keys, group start
+    offsets, flat sorted dates). Three numpy arrays serialize through
+    the object store zero-copy — a dict of 15k small arrays doesn't."""
+    keys = orders_tbl["o_custkey"].to_numpy()
+    dates = orders_tbl["o_orderdate"].cast(pa.int64()).to_numpy()
+    order = np.lexsort((dates, keys))
+    keys, dates = keys[order], dates[order]
+    bounds = np.nonzero(np.diff(keys))[0] + 1
+    starts = np.concatenate(([0], bounds, [len(keys)]))
+    uniq = keys[starts[:-1]]
+    return uniq, starts, dates
 
 
 def make_asof_join(lookup_ref):
@@ -114,16 +119,17 @@ def make_asof_join(lookup_ref):
     small side + searchsorted: the semi-join shape, no shuffle."""
 
     def asof(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
+        uniq, starts, flat_dates = ray.get(lookup_ref)
         ts = pa.compute.cast(batch["ts"], pa.int64()).to_numpy()
         uids = batch["user_id"].to_numpy()
         matched = np.full(len(uids), np.int64(0), dtype="int64")
         valid = np.zeros(len(uids), dtype=bool)
         # one vectorized searchsorted per distinct user in the batch
         for uid in np.unique(uids):
-            dates = lookup.get(int(uid))
-            if dates is None:
+            pos = int(np.searchsorted(uniq, uid))
+            if pos >= len(uniq) or uniq[pos] != uid:
                 continue
+            dates = flat_dates[starts[pos] : starts[pos + 1]]
             sel = uids == uid
             idx = np.searchsorted(dates, ts[sel], side="right") - 1
             ok = idx >= 0
