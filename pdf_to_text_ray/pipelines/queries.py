@@ -597,6 +597,100 @@ def q_summarize(sf_dir: str):
     )
 
 
+# ------------------------------------ pre-aggregated global statistics
+
+def q_doclen_quantiles(sf_dir: str):
+    """Exact doc-length quantiles via mergeable histogram partials:
+    each batch emits (len, count) rows (domain-bounded), one small
+    groupby sums them, quantiles are read off the driver-side CDF.
+    The sketch-merge pattern — no global sort."""
+    ds = _read_documents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lens = pc.utf8_length(t["text"]).to_numpy()
+        vals, counts = np.unique(lens, return_counts=True)
+        return pa.table(
+            {
+                "len": pa.array(vals, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("len")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("len")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    qs = []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        target = int(q * (total - 1)) + 1  # quantile_disc semantics
+        qs.append(int(hist.loc[cum >= target, "len"].iloc[0]))
+    return pa.table(
+        {
+            "q": pa.array([0.25, 0.5, 0.75, 0.9, 0.99], pa.float64()),
+            "len_quantile": pa.array(qs, pa.int64()),
+        }
+    )
+
+
+SQL_DOCLEN_QUANTILES = """
+WITH t AS (
+  SELECT quantile_disc(length(text), 0.25) AS q25,
+         quantile_disc(length(text), 0.5)  AS q50,
+         quantile_disc(length(text), 0.75) AS q75,
+         quantile_disc(length(text), 0.9)  AS q90,
+         quantile_disc(length(text), 0.99) AS q99
+  FROM documents
+)
+SELECT 0.25 AS q, CAST(q25 AS BIGINT) AS len_quantile FROM t
+UNION ALL SELECT 0.5,  CAST(q50 AS BIGINT) FROM t
+UNION ALL SELECT 0.75, CAST(q75 AS BIGINT) FROM t
+UNION ALL SELECT 0.9,  CAST(q90 AS BIGINT) FROM t
+UNION ALL SELECT 0.99, CAST(q99 AS BIGINT) FROM t
+"""
+
+
+def q_top_words(sf_dir: str):
+    """Global top-20 words: map-side partial counts per batch (the
+    pre-agg/combiner pattern), small groupby-sum, sort+limit."""
+    ds = _read_documents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(text.lower().split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_TOP_WORDS = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 # ------------------------------------------ relational / stream ops
 
 def q_join_orders_segment(sf_dir: str):
@@ -1078,6 +1172,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "summarize": q_summarize,
+    "doclen_quantiles": q_doclen_quantiles,
+    "top_words": q_top_words,
     "join_orders_segment": q_join_orders_segment,
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
@@ -1112,6 +1208,8 @@ ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "doclen_quantiles": SQL_DOCLEN_QUANTILES,
+    "top_words": SQL_TOP_WORDS,
     "join_orders_segment": SQL_JOIN_ORDERS_SEGMENT,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
