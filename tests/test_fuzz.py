@@ -1,0 +1,73 @@
+"""Property-based hardening: the parsers NEVER raise on arbitrary
+bytes — they classify, extract, or report parse_ok=False (the
+reference's log-and-continue contract, main.py:77-78). Runs with
+hypothesis' deterministic profile (derandomize) so CI is stable."""
+
+import hypothesis
+import hypothesis.strategies as st
+import pyarrow as pa
+
+from pdf_to_text_ray.config import DEFAULT_CONFIG
+from pdf_to_text_ray.pdfgen import build_pdf
+from pdf_to_text_ray.stages.extract import make_extractor
+from pdf_to_text_ray.stages.html_extract import extract_main_content
+from pdf_to_text_ray.stages.pdf_extract import PdfParseError, parse_pdf
+from pdf_to_text_ray.stages.sniff import sniff_payload
+
+SETTINGS = hypothesis.settings(
+    max_examples=150, derandomize=True, deadline=None
+)
+
+
+@hypothesis.given(st.binary(max_size=2048))
+@SETTINGS
+def test_sniffer_total_on_arbitrary_bytes(payload):
+    assert sniff_payload(payload) in ("html", "pdf", "unknown")
+
+
+@hypothesis.given(st.binary(max_size=4096))
+@SETTINGS
+def test_html_extractor_never_raises(payload):
+    text, ok = extract_main_content(payload)
+    assert isinstance(text, str) and isinstance(ok, bool)
+
+
+@hypothesis.given(st.text(max_size=2048))
+@SETTINGS
+def test_html_extractor_on_tag_soup(s):
+    text, ok = extract_main_content(("<div>" + s).encode("utf-8", "replace"))
+    assert isinstance(text, str)
+
+
+@hypothesis.given(st.binary(min_size=1, max_size=4096))
+@SETTINGS
+def test_pdf_parser_raises_only_pdfparseerror(payload):
+    try:
+        recs = parse_pdf(b"%PDF-1.4\n" + payload)
+    except PdfParseError:
+        return
+    for r in recs:
+        assert r["route"] in ("text_layer", "ocr")
+
+
+@hypothesis.given(st.integers(min_value=0, max_value=2000))
+@SETTINGS
+def test_truncated_real_pdf_never_crashes_extractor(cut):
+    """A valid generated PDF truncated at any offset flows through the
+    extract stage as parse_ok rows or an error carrier — never an
+    exception."""
+    pdf = build_pdf(["hello world " * 30], text_layer=True, image_layer=True)
+    payload = pdf[: min(cut, len(pdf))]
+    batch = pa.table(
+        {
+            "url": pa.array(["https://x.example/1"]),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "lang": pa.array(["en"]),
+            "doc_type": pa.array(["pdf"]),
+            "partition_id": pa.array([0], pa.int32()),
+            "html": pa.array([payload], pa.binary()),
+        }
+    )
+    out = make_extractor(DEFAULT_CONFIG)(batch)
+    assert out.num_rows >= 1
+    assert set(out["route"].to_pylist()) <= {"text_layer", "ocr", "none"}
