@@ -134,10 +134,12 @@ FROM documents GROUP BY 1
 
 def q_route_counts(sf_dir: str):
     """Per-page route distribution (dom / text_layer / ocr / none).
-    The text_layer-vs-ocr split depends on the 250-char router over
-    per-page content — pinned by pytest; rows-only check here."""
+    The text_layer-vs-ocr split is the reference's strict >250 rule
+    over whitespace-stripped page text (core_document_processing.py:76)
+    — reproducible in SQL from the page word lengths."""
     pages = pages_pipeline(synthesize_docs(sf_dir), DEFAULT_CONFIG)
     return pages.groupby("route").aggregate(Count(alias_name="n"))
+
 
 
 # ------------------------------------------------------ scalar textops
@@ -257,6 +259,27 @@ WITH words AS (
          string_agg(word, ' ' ORDER BY ord) AS ptext
   FROM words GROUP BY doc_id, CAST((ord - 1) // 60 AS INTEGER)
 )
+"""
+
+# dup note: sniff/route run BEFORE dedup, so cls==2 re-crawl rows add
+# one extra 'dom' page each.
+SQL_ROUTE_COUNTS = _SQL_PAGES_CTE + """
+, routed AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % 10 <= 5 THEN 'dom'
+         WHEN d.doc_id % 10 = 9 THEN 'none'
+         WHEN d.doc_id % 10 = 8 THEN 'ocr'
+         WHEN length(replace(p.ptext, ' ', '')) > 250 THEN 'text_layer'
+         ELSE 'ocr' END AS route
+  FROM documents d
+  LEFT JOIN pages p
+    ON d.doc_id = p.doc_id AND d.doc_id % 10 IN (6, 7, 8)
+), extra_dups AS (
+  SELECT 'dom' AS route FROM documents WHERE doc_id % 10 = 2
+)
+SELECT route, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT route FROM routed UNION ALL SELECT route FROM extra_dups)
+GROUP BY route
 """
 
 SQL_COMBINE_PAGES_REF = _SQL_PAGES_CTE + """
@@ -1195,6 +1218,7 @@ ORACLE_SQL = {
     "extract_e2e": SQL_EXTRACT_E2E,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "sniff_doc_types": SQL_SNIFF_DOC_TYPES,
+    "route_counts": SQL_ROUTE_COUNTS,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "clean_text": SQL_CLEAN_TEXT,
     "ocr_whitelist": SQL_OCR_WHITELIST,
