@@ -620,6 +620,96 @@ def q_summarize(sf_dir: str):
     )
 
 
+# --------------------------------------- training-corpus prep pipeline
+
+def q_training_corpus(sf_dir: str):
+    """C4-style corpus prep, end to end: language gate (marker n-grams)
+    -> quality gates -> exact dedup keep-first. All gates use integer
+    cross-multiplication (alpha*10 >= chars*6, stop*20 >= words) so the
+    SQL oracle is bit-exact — no float ratio thresholds.
+
+    -> (doc_id, md5_hash, n_tokens) of the surviving corpus.
+    """
+    ds = _read_documents(sf_dir)
+
+    def gate(t: pa.Table) -> pa.Table:
+        import re
+
+        from ..functions.hashing import md5_hex
+        from ..stages.textstats import LANG_MARKERS
+
+        re_tok = re.compile(r"\S+")
+        re_word = re.compile(r"[a-z]+")
+        re_alpha = re.compile(r"[A-Za-z]")
+        en = frozenset(LANG_MARKERS["en"])
+        others = [frozenset(LANG_MARKERS[k]) for k in ("de", "fr", "es")]
+
+        ids, hashes, ntoks = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = re_tok.findall(text)
+            words = re_word.findall(text.lower())
+            s_en = sum(w in en for w in words)
+            if any(sum(w in o for w in words) > s_en for o in others):
+                continue  # language gate: en must win every pairwise
+            n_alpha = len(re_alpha.findall(text))
+            if len(toks) < 50:
+                continue  # too short for training
+            if n_alpha * 10 < len(text) * 6:
+                continue  # alpha ratio < 0.6: likely markup/noise
+            ids.append(did)
+            hashes.append(md5_hex(text))
+            ntoks.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "md5_hash": pa.array(hashes, pa.string()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+            }
+        )
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return (
+        gated.groupby("md5_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_tokens", alias_name="n_tokens"),
+        )
+    )
+
+
+_MARKER_HITS = {
+    lang: f"length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),"
+    f" w -> w IN ({', '.join(repr(w) for w in textstats.LANG_MARKERS[lang])})))"
+    for lang in ("en", "de", "fr", "es")
+}
+
+SQL_TRAINING_CORPUS = f"""
+WITH sig AS (
+  SELECT doc_id, text,
+    length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+    length(text) AS n_chars,
+    {_MARKER_HITS['en']} AS s_en,
+    {_MARKER_HITS['de']} AS s_de,
+    {_MARKER_HITS['fr']} AS s_fr,
+    {_MARKER_HITS['es']} AS s_es
+  FROM documents
+), gated AS (
+  SELECT doc_id, md5(text) AS md5_hash, n_tokens
+  FROM sig
+  WHERE s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+    AND n_tokens >= 50
+    AND n_alpha * 10 >= n_chars * 6
+)
+SELECT md5_hash,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(min(n_tokens) AS BIGINT) AS n_tokens
+FROM gated GROUP BY md5_hash
+"""
+
+
 # ------------------------------------ pre-aggregated global statistics
 
 def q_doclen_quantiles(sf_dir: str):
@@ -1195,6 +1285,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "summarize": q_summarize,
+    "training_corpus": q_training_corpus,
     "doclen_quantiles": q_doclen_quantiles,
     "top_words": q_top_words,
     "join_orders_segment": q_join_orders_segment,
@@ -1232,6 +1323,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "training_corpus": SQL_TRAINING_CORPUS,
     "doclen_quantiles": SQL_DOCLEN_QUANTILES,
     "top_words": SQL_TOP_WORDS,
     "join_orders_segment": SQL_JOIN_ORDERS_SEGMENT,
