@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "events_asof_orders",
     "join_orders_segment",
     "summarize",
+    "training_corpus",
+    "doclen_quantiles",
+    "top_words",
     "sentence_split",
     "prepare_text",
     "chunk_pages",
