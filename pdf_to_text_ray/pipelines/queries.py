@@ -828,6 +828,53 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_join_orders_segment_bcast(sf_dir: str):
+    """Same join, broadcast strategy: customer is the small side, so
+    ship it once via ray.put and merge per batch — no shuffle. Same
+    oracle as the partitioned variant; bench shows the strategy gap."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_ref = ray.put(
+        dict(
+            zip(
+                cust["c_custkey"].to_pylist(),
+                cust["c_mktsegment"].to_pylist(),
+            )
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        seg = ray.get(seg_ref)
+        df = t.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        df["price_cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("o_custkey", "size"), revenue_cents=("price_cents", "sum")
+        )
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(g.index, pa.string()),
+                "n_orders": pa.array(g["n_orders"], pa.int64()),
+                "revenue_cents": pa.array(g["revenue_cents"], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min gap) per user."""
     events = ray.data.read_parquet(
@@ -1289,6 +1336,7 @@ QUERIES = {
     "doclen_quantiles": q_doclen_quantiles,
     "top_words": q_top_words,
     "join_orders_segment": q_join_orders_segment,
+    "join_orders_segment_bcast": q_join_orders_segment_bcast,
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
     "dup_clusters": q_dup_clusters,
@@ -1327,6 +1375,7 @@ ORACLE_SQL = {
     "doclen_quantiles": SQL_DOCLEN_QUANTILES,
     "top_words": SQL_TOP_WORDS,
     "join_orders_segment": SQL_JOIN_ORDERS_SEGMENT,
+    "join_orders_segment_bcast": SQL_JOIN_ORDERS_SEGMENT,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "chunk_pages": SQL_CHUNK_PAGES,
