@@ -165,3 +165,16 @@ def test_summarize_sentences_come_from_doc(sf_dir, documents_df):
         assert summ == "" or all(
             s.strip() in r.text for s in summ.split(". ") if s.strip()
         ) or len(summ) <= len(r.text)
+
+
+def test_rows_only_queries_are_deterministic(sf_dir):
+    """Queries without a SQL oracle are gated on determinism: two
+    executions must produce identical row multisets."""
+    from pdf_to_text_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
+    assert rows_only  # the set exists and is covered here
+    for name in rows_only:
+        a = sorted(map(repr, QUERIES[name](sf_dir).take_all()))
+        b = sorted(map(repr, QUERIES[name](sf_dir).take_all()))
+        assert a == b, name
