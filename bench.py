@@ -9,9 +9,10 @@ session and prints ONE JSON line:
      "docs_per_s": ...}
 
 ``--scaling`` runs the headline extraction pipeline twice in FRESH
-processes (num_cpus=8 then num_cpus=32 by default — the sandbox
-stand-in for N vs 4N nodes) on the same input and reports both
-throughputs plus efficiency = thr_hi / (scale * thr_lo).
+processes (num_cpus=2 then num_cpus=8 by default — the sandbox
+stand-in for N vs 4N nodes; see the --lo/--hi flag comment for why
+those levels) on the same input and reports both throughputs plus
+efficiency = thr_hi / (scale * thr_lo).
 
 This script OWNS its Ray session (the library never calls ray.init).
 """

@@ -24,8 +24,11 @@ class PipelineConfig:
     num_partitions: int = 64
 
     # --- skew handling ---
-    # size_class boundaries on payload bytes; XL docs get their own parse
-    # pool with batch_size=1 so one 300-page PDF never stalls a batch.
+    # size_class boundaries on payload bytes. The class feeds metrics /
+    # grouped stats (queries.q_size_class_counts); skew itself is
+    # handled by dynamic block-byte splitting + the page explode right
+    # after parse (tests/test_skew.py pins a 300-page PDF flowing
+    # through mixed batches without stalling them).
     size_small: int = 8 * 1024
     size_medium: int = 64 * 1024
     size_large: int = 1024 * 1024

@@ -182,32 +182,59 @@ def stale_droplist(keys: ray.data.Dataset) -> dict[str, int]:
 
 
 # Broadcast objects are fetched from the local object store once per
-# worker PROCESS and cached here — never deserialized per batch.
-_BCAST_CACHE: dict[str, dict] = {}
+# worker PROCESS and cached here — never deserialized per batch. The
+# cache holds ONE entry (only the latest broadcast is ever live in a
+# run; an unbounded dict would leak a full droplist copy per run in
+# long-lived workers).
+_BCAST_CACHE: dict[str, object] = {}
 
 
-def _get_broadcast(ref) -> dict:
-    d = _BCAST_CACHE.get(ref.hex())
-    if d is None:
-        d = _BCAST_CACHE[ref.hex()] = ray.get(ref)
-    return d
+def _get_broadcast(ref):
+    key = ref.hex()
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        _BCAST_CACHE.clear()
+        val = _BCAST_CACHE[key] = ray.get(ref)
+    return val
 
 
 def make_stale_filter(dups_ref):
-    """Drop crawls older than their url's winner (broadcast lookup)."""
+    """Drop crawls older than their url's winner (broadcast lookup).
+
+    The broadcast is a pair of parallel sorted numpy arrays
+    (urls, winning_ts) so the per-batch check is one ``searchsorted``
+    + vectorized compares — no per-row Python membership loop.
+    """
 
     def stale_filter(batch: pa.Table) -> pa.Table:
-        dups = _get_broadcast(dups_ref)
-        if not dups:
+        import numpy as np
+
+        dup_urls, dup_ts = _get_broadcast(dups_ref)
+        if len(dup_urls) == 0:
             return batch
-        ts = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
-        mask = [
-            u not in dups or t == dups[u]
-            for u, t in zip(batch["url"].to_pylist(), ts)
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        ts = pc.cast(batch["warc_ts"], pa.int64()).to_numpy()
+        idx = np.searchsorted(dup_urls, urls)
+        idx_c = np.minimum(idx, len(dup_urls) - 1)
+        found = dup_urls[idx_c] == urls
+        keep = ~found | (ts == dup_ts[idx_c])
+        if keep.all():
+            return batch
+        return batch.filter(pa.array(keep, pa.bool_()))
 
     return stale_filter
+
+
+def droplist_arrays(dups: dict[str, int]):
+    """dict url->ts -> (sorted url array, parallel ts array) for the
+    vectorized stale filter broadcast."""
+    import numpy as np
+
+    if not dups:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    urls = np.asarray(sorted(dups), dtype=object)
+    ts = np.fromiter((dups[u] for u in urls), dtype=np.int64, count=len(urls))
+    return urls, ts
 
 
 def extract_pipeline_broadcast(
@@ -229,7 +256,7 @@ def extract_pipeline_broadcast(
     )
     if dups:
         ds = ds.map_batches(
-            make_stale_filter(ray.put(dups)),
+            make_stale_filter(ray.put(droplist_arrays(dups))),
             batch_format="pyarrow",
             batch_size=None,
         )

@@ -531,7 +531,11 @@ def q_events_hourly(sf_dir: str):
         import pandas as pd
 
         df = t.to_pandas()
-        bucket = df["ts"].astype("int64") // 3_600_000_000
+        # normalize to microseconds regardless of the pandas datetime
+        # unit (pandas<2 / older pyarrow coerce to ns -> 1000x buckets)
+        bucket = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000
+        )
         g = (
             df.assign(hour_bucket=bucket)
             .groupby(["user_id", "hour_bucket"], sort=False)
@@ -779,7 +783,10 @@ def q_top_words(sf_dir: str):
 
         c: Counter = Counter()
         for text in t["text"].to_pylist():
-            c.update(text.lower().split())
+            # split on single spaces exactly like the oracle's
+            # string_split(lower(text), ' ') — .split() (any whitespace)
+            # diverges on \n/\t-joined tokens
+            c.update(w for w in text.lower().split(" ") if w)
         return pa.table(
             {
                 "word": pa.array(list(c.keys()), pa.string()),
@@ -931,26 +938,11 @@ ASOF LEFT JOIN orders o
 
 def q_dup_clusters(sf_dir: str):
     """Near-dup clusters: verified MinHash pairs -> connected
-    components (doc_id, cluster_id). Not SQL-expressible without
-    recursion — rows-only; pinned by pytest."""
-    pairs_ds = q_minhash_near_dups(sf_dir)
-    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_ds.take_all()]
-    clusters = relational.cluster_pairs(pairs)
-    t = pa.table(
-        {
-            "doc_id": pa.array(sorted(clusters), pa.int64()),
-            "cluster_id": pa.array(
-                [clusters[d] for d in sorted(clusters)], pa.int64()
-            ),
-        }
-    )
-    return ray.data.from_arrow(t)
-
-
-def q_dup_clusters_distributed(sf_dir: str):
-    """Same components via distributed min-label propagation (the
-    10^12-doc path: no driver state beyond the loop counter). Pytest
-    asserts it matches the union-find result exactly."""
+    components (doc_id, cluster_id) via distributed min-label
+    propagation — no ``take_all()``/driver state anywhere on the path
+    (driver union-find remains the pytest oracle,
+    tests/test_relational.py). Not SQL-expressible without recursion —
+    rows-only; pinned by pytest."""
     pairs_ds = q_minhash_near_dups(sf_dir).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
@@ -1277,18 +1269,18 @@ def q_embedding_near_dups(sf_dir: str):
         bm = bm / _np.linalg.norm(bm, axis=1, keepdims=True)
         bids = _np.array(batch["vec_id"].to_pylist(), dtype=_np.int64)
         sims = bm @ cm.T
-        a, b, s = [], [], []
-        for i in range(len(bids)):
-            mask = (sims[i] >= 0.1) & (cids > bids[i])
-            for j in _np.nonzero(mask)[0]:
-                a.append(int(bids[i]))
-                b.append(int(cids[j]))
-                s.append(round(float(sims[i, j]), 6))
+        # one 2-D mask + nonzero — no per-row Python loop; only the
+        # surviving pairs (bounded) are touched in Python for the
+        # decimal round that matches DuckDB's round()
+        mask = (sims >= 0.1) & (cids[None, :] > bids[:, None])
+        ii, jj = _np.nonzero(mask)
         return pa.table(
             {
-                "vec_a": pa.array(a, pa.int64()),
-                "vec_b": pa.array(b, pa.int64()),
-                "sim": pa.array(s, pa.float64()),
+                "vec_a": pa.array(bids[ii], pa.int64()),
+                "vec_b": pa.array(cids[jj], pa.int64()),
+                "sim": pa.array(
+                    [round(float(x), 6) for x in sims[ii, jj]], pa.float64()
+                ),
             }
         )
 
@@ -1340,7 +1332,6 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
     "dup_clusters": q_dup_clusters,
-    "dup_clusters_distributed": q_dup_clusters_distributed,
     "chunk_pages": q_chunk_pages,
     "longest_docs": q_longest_docs,
     "size_class_counts": q_size_class_counts,

@@ -79,6 +79,9 @@ def _topk_per_query(k: int):
 # actor pool pins CPUs for the whole run, and two such pools around a
 # shuffle deadlock a small node (2+2 actors on 4 CPUs leave the sort no
 # CPU). Actor pools stay the right tool for heavy state (real models).
+# Each cache holds ONE entry — only the latest broadcast is live, and
+# an unbounded dict leaks a query-matrix copy per run in long-lived
+# workers.
 _SCORER_CACHE: dict = {}
 
 
@@ -86,6 +89,7 @@ def _scorer(queries_ref, k: int) -> BruteForceTopK:
     key = (queries_ref.hex(), k)
     sc = _SCORER_CACHE.get(key)
     if sc is None:
+        _SCORER_CACHE.clear()
         sc = _SCORER_CACHE[key] = BruteForceTopK(queries_ref, k)
     return sc
 
@@ -174,6 +178,7 @@ _QBUCKET_CACHE: dict = {}
 def _get_q_buckets(ref) -> dict:
     d = _QBUCKET_CACHE.get(ref.hex())
     if d is None:
+        _QBUCKET_CACHE.clear()
         d = _QBUCKET_CACHE[ref.hex()] = ray.get(ref)
     return d
 

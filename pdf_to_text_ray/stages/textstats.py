@@ -19,6 +19,10 @@ from ..functions.hashing import md5_hex, simhash64, winnow_fingerprint
 _RE_TOKEN = re.compile(r"\S+")
 _RE_WORD = re.compile(r"[a-z]+")
 _RE_PUNCT = re.compile(r"[.!?,;:]")
+# ASCII letters only — the same [A-Za-z] class the DuckDB oracle counts
+# (str.isalpha() counts all Unicode letters and silently diverges on any
+# non-ASCII corpus).
+_RE_ALPHA = re.compile(r"[A-Za-z]")
 # BPE-ish subword pre-tokenizer (GPT-2 style, simplified): word pieces,
 # numbers, or single non-space symbols.
 _RE_BPE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
@@ -79,7 +83,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
             sum(w in _STOP_SET for w in words) / len(words) if words else 0.0
         )
         alpha_ratio.append(
-            sum(c.isalpha() for c in t) / len(t) if t else 0.0
+            len(_RE_ALPHA.findall(t)) / len(t) if t else 0.0
         )
     return pa.table(
         {

@@ -132,14 +132,19 @@ def test_cluster_pairs_distributed_matches_unionfind():
 
 
 def test_distributed_clusters_match_unionfind_on_corpus(sf_dir):
+    """The QUERIES entry runs the distributed path; driver union-find
+    over the same verified pairs is the oracle."""
     from pdf_to_text_ray.pipelines.queries import (
         q_dup_clusters,
-        q_dup_clusters_distributed,
+        q_minhash_near_dups,
     )
 
-    a = {r["doc_id"]: r["cluster_id"] for r in q_dup_clusters(sf_dir).take_all()}
-    b = {
-        r["doc_id"]: r["cluster_id"]
-        for r in q_dup_clusters_distributed(sf_dir).take_all()
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in q_dup_clusters(sf_dir).take_all()
     }
-    assert a == b and a
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_near_dups(sf_dir).take_all()
+    ]
+    want = relational.cluster_pairs(pairs)
+    assert got == want and got
