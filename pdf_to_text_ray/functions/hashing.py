@@ -50,13 +50,18 @@ class MinHasher:
 
     h_i(x) = (a_i * x + b_i) mod p  (p = 2^61-1), truncated to 32 bits.
     Parameters are derived from a fixed seed -> deterministic everywhere.
+
+    a, b are drawn below 2^32 so a*x (x is a 32-bit shingle hash) plus b
+    fits in uint64 WITHOUT wrapping — drawing them up to p would make
+    ``np.outer`` wrap mod 2^64 before the mod-p reduction and silently
+    leave the universal hash family.
     """
 
     def __init__(self, num_perm: int = 64, seed: int = 12345):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
 
     def _shingle_hashes(self, sh: set[str]) -> np.ndarray:
         return np.array(

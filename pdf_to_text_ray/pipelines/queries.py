@@ -334,15 +334,10 @@ GROUP BY md5(text)
 
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup pairs verified by true Jaccard ≥ 0.8.
-    Not SQL-expressible — determinism pinned by pytest."""
-    ds = _read_documents(sf_dir)
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).to_pylist()
-    }
-    return dedup_mod.minhash_near_dups(ds, ray.put(texts))
+    Verification joins candidate pairs back to text (hash-partitioned)
+    — no full-corpus broadcast anywhere. Not SQL-expressible —
+    determinism pinned by pytest."""
+    return dedup_mod.minhash_near_dups(_read_documents(sf_dir))
 
 
 def q_simhash_near_dups(sf_dir: str):

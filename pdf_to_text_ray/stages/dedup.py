@@ -7,9 +7,12 @@ Scale shapes (per the Ray guide / SUR­VEY plan):
   ``groupby(hash)`` keep-first — hash-partitioned, no driver state.
 * MinHash-LSH near-dup: signatures per batch → explode to
   (band_key, doc_id) rows → ``groupby(band_key)`` emits candidate
-  pairs → verify Jaccard per pair → keep the smaller doc_id of each
-  verified pair as the duplicate. Only band *buckets*, never the
-  corpus, are materialized per group.
+  pairs → verification joins the (small) candidate-pair set back to
+  document text hash-partitioned on doc_id (``Dataset.join``) and
+  computes true Jaccard per pair. Only band *buckets* and candidate
+  pairs, never the corpus, live in any one place — no full-text
+  broadcast anywhere, so the path survives corpora that fit neither
+  driver memory nor a single object-store copy.
 * SimHash: 64-bit signature, candidates via banded 16-bit chunks,
   verified by Hamming distance.
 
@@ -128,25 +131,6 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return _partition_pairs(df, "band_key")
 
 
-class JaccardVerify:
-    """Verify candidate pairs by true shingle Jaccard. Texts for the
-    pair are read from a broadcast doc_id -> text map (small side via
-    ray.put, fetched once per worker from the local object store)."""
-
-    def __init__(self, texts_ref):
-        import ray as _ray
-
-        self._texts = _ray.get(texts_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sims = []
-        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa = shingles(self._texts.get(a, ""), SHINGLE_K)
-            sb = shingles(self._texts.get(b, ""), SHINGLE_K)
-            sims.append(jaccard(sa, sb))
-        return batch.append_column("jaccard", pa.array(sims, pa.float64()))
-
-
 _MINHASH_CACHE: dict[tuple, MinHashStage] = {}
 
 
@@ -158,17 +142,6 @@ def minhash_task_fn(
     if stage is None:
         stage = _MINHASH_CACHE[key] = MinHashStage(num_perm, num_bands)
     return stage(batch)
-
-
-_VERIFY_CACHE: dict[str, JaccardVerify] = {}
-
-
-def _jaccard_verify_task(batch: pa.Table, texts_ref=None) -> pa.Table:
-    key = texts_ref.hex()
-    v = _VERIFY_CACHE.get(key)
-    if v is None:
-        v = _VERIFY_CACHE[key] = JaccardVerify(texts_ref)
-    return v(batch)
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -183,16 +156,67 @@ def minhash_candidate_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
+def _pair_sides(batch: pa.Table) -> pa.Table:
+    """Explode each candidate pair to two (pair, side_id) rows so the
+    verification join fetches both texts by doc_id."""
+    a = batch["doc_a"].combine_chunks()
+    b = batch["doc_b"].combine_chunks()
+    return pa.table(
+        {
+            "doc_a": pa.concat_arrays([a, a]),
+            "doc_b": pa.concat_arrays([b, b]),
+            "side_id": pa.concat_arrays([a, b]),
+        }
+    )
+
+
+def _pair_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+    """One (doc_a, doc_b) group = the pair's two joined text rows ->
+    true shingle Jaccard."""
+    df = df.sort_values("side_id", kind="mergesort")
+    texts = df["text"].tolist()
+    sim = jaccard(
+        shingles(texts[0], SHINGLE_K), shingles(texts[-1], SHINGLE_K)
+    )
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array([int(df["doc_a"].iloc[0])], "int64"),
+            "doc_b": pd.array([int(df["doc_b"].iloc[0])], "int64"),
+            "jaccard": pd.array([sim], "float64"),
+        }
+    )
+
+
 def minhash_near_dups(
-    ds: ray.data.Dataset, texts_ref, threshold: float = JACCARD_THRESHOLD
+    ds: ray.data.Dataset,
+    threshold: float = JACCARD_THRESHOLD,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """Verified near-duplicate pairs with their true Jaccard."""
+    """Verified near-duplicate pairs with their true Jaccard.
+
+    Verification is a hash-partitioned ``Dataset.join`` of the exploded
+    candidate-pair sides back to document text on doc_id, then a
+    per-pair Jaccard — the candidate set (not the corpus) is the small
+    side, and neither driver nor any single worker ever holds all
+    texts. ``num_partitions`` sizes the join exchange; raise it with
+    the cluster.
+
+    -> (doc_a, doc_b, jaccard) with jaccard >= threshold
+    """
     pairs = minhash_candidate_pairs(ds)
-    verified = pairs.map_batches(
-        _jaccard_verify_task,
-        fn_kwargs={"texts_ref": texts_ref},
+    sides = pairs.map_batches(_pair_sides, batch_format="pyarrow")
+    texts = ds.map_batches(
+        lambda t: pa.table({"side_id": t["doc_id"], "text": t["text"]}),
         batch_format="pyarrow",
-        batch_size=1024,
+    )
+    joined = sides.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("side_id",),
+    )
+    verified = joined.groupby(["doc_a", "doc_b"]).map_groups(
+        _pair_jaccard, batch_format="pandas"
     )
     return verified.map_batches(
         lambda t: t.filter(
