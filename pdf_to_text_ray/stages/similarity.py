@@ -3,10 +3,12 @@
 Baseline: brute-force cosine top-k — the query matrix is broadcast once
 with ``ray.put`` and each ``map_batches`` task does one numpy matmul
 against its batch (never a per-row loop, never a shuffle). The scale
-path is an LSH-bucketed variant: candidates are co-located by
-random-hyperplane sign buckets (``groupby(bucket)``), so each query
-only scores its bucket — the classic IVF/LSH trade of recall for a
-~buckets× smaller scored set.
+path is an LSH-bucketed variant: vectors and queries get
+random-hyperplane sign buckets, and each batch scores only its rows
+that fall in some query's bucket, against just that bucket's queries —
+the classic IVF/LSH trade of recall for a ~2^n_planes× smaller scored
+set, with no shuffle (bucket routing happens inside ``map_batches``,
+cheaper at scale than a ``groupby(bucket)`` exchange).
 
 Deterministic: hyperplanes from a fixed seed; ties broken by vec_id.
 """
@@ -22,10 +24,13 @@ import ray.data
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
-    col = batch["embedding"]
-    # list<float32> -> [n, d] float64 (float64 keeps the SQL oracle's
-    # double-precision cosine bit-comparable after rounding)
-    return np.array(col.to_pylist(), dtype=np.float64)
+    # list<float32> -> [n, d] float64 via the flat Arrow values buffer
+    # (near-zero-copy; to_pylist() costs ~20x more). float64 keeps the
+    # SQL oracle's double-precision cosine bit-comparable after
+    # rounding. Embedding lists are non-null fixed-dim by schema.
+    col = batch["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(col), -1)
 
 
 class BruteForceTopK:
@@ -139,48 +144,102 @@ class HyperplaneBucketer:
         )
 
 
-_BUCKETER_CACHE: dict = {}
+class BucketTopK:
+    """Fused route+score stage: one decode, a cheap [n, n_planes]
+    routing matmul, then each row is scored ONLY against the queries
+    of its own bucket. Rows in no query bucket are dropped before any
+    scoring. Scoring FLOPs shrink from n*Q to ~n*Q/2^n_planes — the
+    IVF saving (routing always needs the vector; the win is in the
+    scoring matmul, so it grows with the query count)."""
+
+    def __init__(
+        self,
+        queries_ref,
+        dim: int,
+        n_planes: int = 4,
+        k: int = 10,
+        seed: int = 777,
+    ):
+        q = ray.get(queries_ref)
+        self._bucketer = HyperplaneBucketer(dim, n_planes, seed)
+        self._k = k
+        qids = sorted(q)
+        qm_raw = np.stack([np.asarray(q[i], dtype=np.float64) for i in qids])
+        q_buckets = self._bucketer.bucket_of(qm_raw)
+        qm = qm_raw / np.linalg.norm(qm_raw, axis=1, keepdims=True)
+        grouped: dict[int, list[int]] = {}
+        for pos, qid in enumerate(qids):
+            grouped.setdefault(int(q_buckets[pos]), []).append(pos)
+        self._by_bucket: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for b, poss in grouped.items():
+            self._by_bucket[b] = (
+                np.asarray([qids[p] for p in poss], dtype=np.int64),
+                qm[poss],
+            )
+        self._wanted = np.asarray(sorted(self._by_bucket), dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        m = _batch_matrix(batch)
+        buckets = self._bucketer.bucket_of(m)
+        keep = np.isin(buckets, self._wanted)
+        if not keep.any():
+            return empty
+        m = m[keep]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        sub_buckets = buckets[keep]
+        sub_ids = batch["vec_id"].to_numpy()[keep]
+        out_q, out_v, out_s = [], [], []
+        for b, (qids, qm) in self._by_bucket.items():
+            sel = sub_buckets == b
+            if not sel.any():
+                continue
+            ids_b = sub_ids[sel]
+            sims = m[sel] @ qm.T  # [n_bucket_rows, n_bucket_queries]
+            k = min(self._k, sims.shape[0])
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                idx = np.lexsort((ids_b, -col))[:k]
+                out_q.extend([int(qid)] * len(idx))
+                out_v.extend(ids_b[idx].tolist())
+                out_s.extend(col[idx].tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
 
 
-def _bucketer(dim: int, n_planes: int) -> HyperplaneBucketer:
-    key = (dim, n_planes)
-    b = _BUCKETER_CACHE.get(key)
-    if b is None:
-        b = _BUCKETER_CACHE[key] = HyperplaneBucketer(dim, n_planes)
-    return b
-
-
-def _bucket_task(batch: pa.Table, dim: int = 0, n_planes: int = 4) -> pa.Table:
-    return _bucketer(dim, n_planes)(batch)
+_BUCKET_SCORER_CACHE: dict = {}
 
 
 def _bucket_score_task(
-    batch: pa.Table, queries_ref=None, k: int = 10, q_buckets_ref=None
+    batch: pa.Table,
+    queries_ref=None,
+    dim: int = 0,
+    n_planes: int = 4,
+    k: int = 10,
 ) -> pa.Table:
-    out = _scorer(queries_ref, k)(batch)
-    q_buckets = _get_q_buckets(q_buckets_ref)
-    # keep (query, vec) pairs only when they share the bucket
-    vec_bucket = dict(
-        zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist())
-    )
-    mask = [
-        q_buckets.get(qid) == vec_bucket.get(vid)
-        for qid, vid in zip(
-            out["query_id"].to_pylist(), out["vec_id"].to_pylist()
+    key = (queries_ref.hex(), dim, n_planes, k)
+    sc = _BUCKET_SCORER_CACHE.get(key)
+    if sc is None:
+        _BUCKET_SCORER_CACHE.clear()
+        sc = _BUCKET_SCORER_CACHE[key] = BucketTopK(
+            queries_ref, dim, n_planes, k
         )
-    ]
-    return out.filter(pa.array(mask, pa.bool_()))
-
-
-_QBUCKET_CACHE: dict = {}
-
-
-def _get_q_buckets(ref) -> dict:
-    d = _QBUCKET_CACHE.get(ref.hex())
-    if d is None:
-        _QBUCKET_CACHE.clear()
-        d = _QBUCKET_CACHE[ref.hex()] = ray.get(ref)
-    return d
+    return sc(batch)
 
 
 def lsh_topk(
@@ -190,29 +249,18 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 4,
 ) -> ray.data.Dataset:
-    """Approximate top-k: score each query only against its own LSH
-    bucket. Recall < 1 by design; compare against ann_topk for the
-    recall/throughput trade."""
-    bucketed = ds.map_batches(
-        _bucket_task,
-        fn_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pyarrow",
-        batch_size=4096,
-    )
-    q = ray.get(queries_ref)
-    bucketer = HyperplaneBucketer(dim, n_planes)
-    qm = np.stack([np.asarray(q[i], dtype=np.float64) for i in sorted(q)])
-    q_buckets = {
-        qid: int(b) for qid, b in zip(sorted(q), bucketer.bucket_of(qm))
-    }
-    q_buckets_ref = ray.put(q_buckets)
-
-    local = bucketed.map_batches(
+    """Approximate top-k: each query scores ONLY the vectors in its own
+    LSH bucket (rows in no query bucket never touch the matmul, or even
+    decode their embedding) — FLOPs shrink ~2^n_planes-fold vs
+    ann_topk at the cost of recall < 1. Compare against ann_topk for
+    the recall/throughput trade (tools/bench_lsh.py)."""
+    local = ds.map_batches(
         _bucket_score_task,
         fn_kwargs={
             "queries_ref": queries_ref,
+            "dim": dim,
+            "n_planes": n_planes,
             "k": k,
-            "q_buckets_ref": q_buckets_ref,
         },
         batch_format="pyarrow",
         batch_size=4096,
