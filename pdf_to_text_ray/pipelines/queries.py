@@ -34,6 +34,10 @@ from .extract import pages_pipeline, run_extraction, synthesize_docs
 
 WORDS_PER_PAGE = 60  # keep in sync with sources/synth.py
 
+# unit separator: joins sentence/line lists into flat string columns so
+# oracle-checked schemas stay scalar
+_US = "\x1f"
+
 
 def _read_documents(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
@@ -345,12 +349,14 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Exact n-gram Jaccard of every doc vs 10 broadcast probe docs."""
+    """Exact n-gram Jaccard of every doc vs the 10 broadcast probe docs
+    (doc_id < 10 — an SQL-expressible probe set)."""
     probes = {
         r["doc_id"]: r["text"]
         for r in pq.read_table(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).to_pylist()[:10]
+        ).to_pylist()
+        if r["doc_id"] < 10
     }
     return _read_documents(sf_dir).map_batches(
         dedup_mod.NgramJaccardScorer,
@@ -359,6 +365,34 @@ def q_ngram_jaccard(sf_dir: str):
         batch_size=1024,
         concurrency=2,
     )
+
+
+# Word 3-shingle sets in SQL: \w+ tokens of the lowercased text (the
+# corpus is ASCII, so [a-z0-9_]+ == \w+), consecutive triples joined by
+# spaces, de-duplicated. jaccard = |∩| / |∪| as a raw BIGINT/BIGINT
+# division (IEEE-identical to functions/hashing.py jaccard()).
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) = 0 THEN []
+           WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' '
+                                    || toks[i+2])
+      END) AS sh
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+        FROM documents)
+), scored AS (
+  SELECT d.doc_id, p.doc_id AS probe_id,
+    CASE WHEN len(list_distinct(d.sh || p.sh)) = 0 THEN 1.0
+         ELSE len(list_intersect(d.sh, p.sh))
+              / len(list_distinct(d.sh || p.sh)) END AS jaccard
+  FROM sh d JOIN sh p ON p.doc_id < 10 AND p.doc_id <> d.doc_id
+)
+SELECT doc_id, probe_id, jaccard FROM scored WHERE jaccard >= 0.2
+"""
 
 
 # ----------------------------------------------------------- textstats
@@ -613,10 +647,77 @@ FROM exploded GROUP BY 1, 2
 def q_summarize(sf_dir: str):
     """Centrality top-3 extractive summary per document
     (summarizer_extractive.py semantics, deterministic BoW embedding).
-    Not SQL-expressible — rows-only check; pinned by pytest."""
+    Scores are computed as exact-int dots -> one-rounding float chain
+    -> ordered cumsum, so the DuckDB oracle below reproduces them
+    bit-for-bit and checks the SELECTED SENTENCES, not just counts."""
     return _read_documents(sf_dir).map_batches(
         summarize_batch, batch_format="pyarrow"
     )
+
+
+# Same centrality chain as stages/summarize.py centrality_scores():
+# integer dot products via a word-level self-join, cos_ij =
+# dot/(sqrt(dii)*sqrt(djj)) (one rounding per op), per-row sum over an
+# ORDERED list (list_sum folds left-to-right like the numpy cumsum;
+# absent pairs contribute exact +0.0 on the Python side — a no-op).
+SQL_SUMMARIZE = f"""
+WITH marked AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(
+        regexp_replace(trim(text), '([.!?])\\s+', '\\1{_US}', 'g'),
+        '{_US}'),
+      s -> s <> '') AS sents
+  FROM documents
+), s AS (
+  SELECT doc_id, unnest(sents) AS sent,
+         generate_subscripts(sents, 1) AS idx, len(sents) AS n
+  FROM marked
+), counts AS (
+  SELECT doc_id, idx, w, count(*) AS c
+  FROM (SELECT doc_id, idx,
+               unnest(regexp_extract_all(lower(sent), '[a-z0-9]+')) AS w
+        FROM s)
+  GROUP BY doc_id, idx, w
+), norms AS (
+  SELECT doc_id, idx, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+  FROM counts GROUP BY doc_id, idx
+), dots AS (
+  SELECT a.doc_id, a.idx AS i, b.idx AS j,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM counts a JOIN counts b
+    ON a.doc_id = b.doc_id AND a.w = b.w
+  GROUP BY a.doc_id, a.idx, b.idx
+), scores AS (
+  SELECT d.doc_id, d.i AS idx,
+    list_sum(list(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm)
+                  ORDER BY d.j)) AS score
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_id AND na.idx = d.i
+  JOIN norms nb ON nb.doc_id = d.doc_id AND nb.idx = d.j
+  GROUP BY d.doc_id, d.i
+), ranked AS (
+  SELECT s.doc_id, s.idx, s.sent, s.n,
+         COALESCE(sc.score, 0.0) AS score,
+         row_number() OVER (
+           PARTITION BY s.doc_id
+           ORDER BY COALESCE(sc.score, 0.0) DESC, s.idx
+         ) AS rnk
+  FROM s LEFT JOIN scores sc ON sc.doc_id = s.doc_id AND sc.idx = s.idx
+), agg AS (
+  SELECT doc_id,
+    CASE WHEN any_value(n) <= 3
+         THEN string_agg(sent, ' ' ORDER BY idx)
+         ELSE string_agg(sent, ' ' ORDER BY score DESC, idx)
+              FILTER (WHERE rnk <= 3)
+    END AS summary,
+    CAST(any_value(n) AS BIGINT) AS n_sentences
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.summary, '') AS summary,
+       COALESCE(a.n_sentences, 0) AS n_sentences
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
 
 
 # --------------------------------------- training-corpus prep pipeline
@@ -1021,9 +1122,6 @@ def q_size_class_counts(sf_dir: str):
 
 # --------------------------------------------------- sentence pipeline
 
-_US = "\x1f"  # unit separator joins sentence lists into a flat column
-
-
 def q_sentence_split(sf_dir: str):
     """Deterministic sentence splitter (reference: 5_NLP
     sentence_splitter.py fallback). Sentences joined by US char so the
@@ -1231,15 +1329,71 @@ FROM frames
 
 
 def q_media_features(sf_dir: str):
-    """Batched 'model inference' stand-in: deterministic 64-d embedding
-    per media payload (actor pool; rows-only check, pytest-pinned)."""
-    return _with_media(sf_dir, multimodal.make_image).map_batches(
+    """Batched 'model inference' stand-in: deterministic 64-d float32
+    embedding per media payload (actor pool decodes the binary
+    container; engine pinned per actor). The embedding list explodes
+    to flat (doc_id, i, feat) rows so the md5-expansion arithmetic is
+    checkable in SQL (feat values widen float32->float64 exactly)."""
+    ds = _with_media(sf_dir, multimodal.make_image).map_batches(
         multimodal.MediaFeatureExtractor,
         fn_constructor_kwargs={"engine": "stub"},
         batch_format="pyarrow",
         batch_size=512,
         concurrency=2,
     )
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = multimodal.EMBED_DIM
+        n = len(col)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(t["doc_id"].to_numpy(), dim), pa.int64()
+                ),
+                "i": pa.array(np.tile(np.arange(dim), n), pa.int64()),
+                "feat": pa.array(flat, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# The stub feature extractor md5-expands "IMGSTUB1:{seed}:{base}" (seed
+# = doc_id % 2^31, base = 4-aligned feature index) and reads 4-byte
+# little-endian ints from the digest; feat = float32(v / 2^31 - 1).
+# Every step is exact-then-one-rounding, so SQL reproduces it bitwise:
+# hex-pair -> byte via strpos, the division/subtraction are exact in
+# float64, and CAST AS REAL applies the same IEEE narrowing.
+SQL_MEDIA_FEATURES = """
+WITH idx AS (
+  SELECT unnest(range(0, 64)) AS i
+), raw AS (
+  SELECT d.doc_id, idx.i,
+    md5('IMGSTUB1:' || CAST(d.doc_id % 2147483648 AS VARCHAR) || ':'
+        || CAST((idx.i // 4) * 4 AS VARCHAR)) AS h,
+    (idx.i % 4) * 4 AS off
+  FROM documents d CROSS JOIN idx
+), bytes AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef', substr(h, 2*(off+0)+1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2*(off+0)+2, 1)) - 1) AS b0,
+    (strpos('0123456789abcdef', substr(h, 2*(off+1)+1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2*(off+1)+2, 1)) - 1) AS b1,
+    (strpos('0123456789abcdef', substr(h, 2*(off+2)+1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2*(off+2)+2, 1)) - 1) AS b2,
+    (strpos('0123456789abcdef', substr(h, 2*(off+3)+1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2*(off+3)+2, 1)) - 1) AS b3
+  FROM raw
+)
+SELECT doc_id, i,
+  CAST(CAST((b0 + b1*256 + b2*65536 + b3*16777216) / 2147483648.0 - 1.0
+            AS REAL) AS DOUBLE) AS feat
+FROM bytes
+"""
 
 
 # ------------------------------------------- embedding-cosine near-dup
@@ -1357,6 +1511,9 @@ ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "summarize": SQL_SUMMARIZE,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "media_features": SQL_MEDIA_FEATURES,
     "training_corpus": SQL_TRAINING_CORPUS,
     "doclen_quantiles": SQL_DOCLEN_QUANTILES,
     "top_words": SQL_TOP_WORDS,

@@ -324,7 +324,10 @@ class NgramJaccardScorer:
                 if sim >= self._threshold:
                     doc_ids.append(did)
                     probe_ids.append(pid)
-                    sims.append(round(sim, 6))
+                    # raw int/int IEEE division — bit-identical to the
+                    # DuckDB oracle's (decimal rounding could diverge
+                    # at round-half boundaries)
+                    sims.append(sim)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),

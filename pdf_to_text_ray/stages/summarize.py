@@ -23,6 +23,9 @@ _RE_WORD = re.compile(r"[a-z0-9]+")
 
 
 def _bow_matrix(sentences: list[str]) -> np.ndarray:
+    """Integer bag-of-words count matrix (int64 keeps dot products
+    EXACT — the float steps below are then each a single correctly
+    rounded IEEE op, bit-identical to the DuckDB oracle's)."""
     vocab: dict[str, int] = {}
     rows = []
     for s in sentences:
@@ -31,11 +34,31 @@ def _bow_matrix(sentences: list[str]) -> np.ndarray:
             idx = vocab.setdefault(w, len(vocab))
             counts[idx] = counts.get(idx, 0) + 1
         rows.append(counts)
-    m = np.zeros((len(sentences), max(1, len(vocab))), dtype=np.float64)
+    m = np.zeros((len(sentences), max(1, len(vocab))), dtype=np.int64)
     for i, counts in enumerate(rows):
         for j, c in counts.items():
             m[i, j] = c
     return m
+
+
+def centrality_scores(sentences: list[str]) -> np.ndarray:
+    """Row-sum cosine centrality, computed so every float op has a
+    deterministic order: exact integer dot matrix -> cos_ij =
+    dot_ij / (sqrt(dot_ii) * sqrt(dot_jj)) (each step one correctly
+    rounded IEEE op) -> per-row cumsum (strictly left-to-right adds,
+    j ascending). The DuckDB oracle performs the identical chain, so
+    scores are bit-equal and the argsort picks the same sentences."""
+    m = _bow_matrix(sentences)
+    dots = m @ m.T  # exact int64
+    norms = np.sqrt(dots.diagonal().astype(np.float64))
+    denom = np.outer(norms, norms)
+    zero = norms == 0.0
+    denom[zero, :] = 1.0
+    denom[:, zero] = 1.0
+    cos = dots.astype(np.float64) / denom
+    cos[zero, :] = 0.0
+    cos[:, zero] = 0.0
+    return np.cumsum(cos, axis=1)[:, -1]
 
 
 def summarize(text: str, top_k: int = 3) -> str:
@@ -45,12 +68,7 @@ def summarize(text: str, top_k: int = 3) -> str:
     sentences = split_into_sentences(text)
     if len(sentences) <= top_k:
         return " ".join(sentences)
-    m = _bow_matrix(sentences)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    m = m / norms
-    sim = m @ m.T
-    scores = sim.sum(axis=1)
+    scores = centrality_scores(sentences)
     order = np.argsort(-scores, kind="stable")[:top_k]
     return " ".join(sentences[i] for i in order)
 
