@@ -1233,6 +1233,176 @@ FROM c
 """
 
 
+# ------------------------------------- markdown / slides / blueprints
+
+def q_markdown_structure(sf_dir: str):
+    """M16: markdown text -> typed structure rows (heading levels,
+    two-level bullets, image-prompt tags, slide assignment). Markdown
+    is synthesized deterministically from each document's words so the
+    oracle reconstructs the expected parse from the same arithmetic."""
+    from ..stages.markdown import markdown_structure_batch
+
+    return _read_documents(sf_dir).map_batches(
+        markdown_structure_batch, batch_format="pyarrow"
+    )
+
+
+_SQL_MD_LINES = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\\S+')) AS word,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+  FROM documents
+), lines AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS c,
+         string_agg(word, ' ' ORDER BY ord) AS line,
+         arg_min(word, ord) AS first_word
+  FROM words GROUP BY doc_id, (ord - 1) // 10
+)
+"""
+
+SQL_MARKDOWN_STRUCTURE = _SQL_MD_LINES + """
+, content_rows AS (
+  SELECT doc_id,
+    CAST(7 * (c // 6) + (c % 6) + 1 AS BIGINT) AS line_no,
+    CAST(c // 6 AS BIGINT) AS slide_no,
+    CASE c % 6 WHEN 4 THEN 'image'
+               WHEN 2 THEN 'bullet' WHEN 5 THEN 'bullet'
+               ELSE 'para' END AS kind,
+    CAST(CASE c % 6 WHEN 5 THEN 1 ELSE 0 END AS BIGINT) AS level,
+    CASE c % 6 WHEN 4 THEN first_word ELSE line END AS content
+  FROM lines
+), heading_rows AS (
+  SELECT doc_id,
+    CAST(7 * s AS BIGINT) AS line_no,
+    CAST(s AS BIGINT) AS slide_no,
+    'h' || CAST(s % 3 + 1 AS VARCHAR) AS kind,
+    CAST(s % 3 + 1 AS BIGINT) AS level,
+    'Section ' || CAST(s + 1 AS VARCHAR) AS content
+  FROM (SELECT DISTINCT doc_id, c // 6 AS s FROM lines)
+)
+SELECT * FROM content_rows UNION ALL SELECT * FROM heading_rows
+"""
+
+
+def q_slide_windows(sf_dir: str):
+    """O3: fixed 12-line slide windows over the document's plain lines
+    (gemini_processing.py:95-108; trailing partial kept, title
+    'Content')."""
+    from ..stages.markdown import slide_windows_batch
+
+    return _read_documents(sf_dir).map_batches(
+        slide_windows_batch, batch_format="pyarrow"
+    )
+
+
+SQL_SLIDE_WINDOWS = _SQL_MD_LINES + """
+SELECT doc_id,
+  CAST(c // 12 AS BIGINT) AS slide_no,
+  'Content' AS title,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  string_agg(line, chr(31) ORDER BY c) AS slide_text
+FROM lines GROUP BY doc_id, c // 12
+"""
+
+
+def q_markdown_report(sf_dir: str):
+    """S13: the assembled per-document markdown report string (what
+    create_markdown_report utf-8 encodes) + its byte length."""
+    from ..stages.markdown import markdown_report_batch
+
+    return _read_documents(sf_dir).map_batches(
+        markdown_report_batch, batch_format="pyarrow"
+    )
+
+
+SQL_MARKDOWN_REPORT = _SQL_MD_LINES + """
+, md AS (
+  SELECT doc_id,
+    CAST(7 * (c // 6) + (c % 6) + 1 AS BIGINT) AS line_no,
+    CASE c % 6
+      WHEN 4 THEN '[Image of ' || first_word || ']'
+      WHEN 2 THEN '* ' || line
+      WHEN 5 THEN '** ' || line
+      ELSE line END AS mdline
+  FROM lines
+  UNION ALL
+  SELECT doc_id, CAST(7 * s AS BIGINT) AS line_no,
+         repeat('#', CAST(s % 3 + 1 AS INTEGER)) || ' Section '
+           || CAST(s + 1 AS VARCHAR) AS mdline
+  FROM (SELECT DISTINCT doc_id, c // 6 AS s FROM lines)
+), agg AS (
+  SELECT doc_id, string_agg(mdline, chr(10) ORDER BY line_no) AS report
+  FROM md GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.report, '') AS report,
+       CAST(strlen(COALESCE(a.report, '')) AS BIGINT) AS n_bytes
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+def q_blueprint_validate(sf_dir: str):
+    """M17: slide-blueprint JSON validate + pretty-print round-trip
+    (ui.py:180-187). Docs with doc_id % 13 == 0 get a corrupted
+    blueprint to exercise the invalid path."""
+    from ..stages.markdown import validate_blueprint_batch
+
+    ds = _read_documents(sf_dir).map_batches(
+        validate_blueprint_batch, batch_format="pyarrow"
+    )
+    # pretty_bytes is pytest-pinned (json.dumps layout, not SQL);
+    # the oracle checks validity + structure counts
+    return ds.select_columns(
+        ["doc_id", "valid", "n_slides", "n_content_lines"]
+    )
+
+
+SQL_BLUEPRINT_VALIDATE = """
+WITH n AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '\\S+')) AS n_words
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(ceil(n_words / 10.0) AS BIGINT) AS n_lines
+  FROM n
+)
+SELECT doc_id,
+  (doc_id % 13 <> 0) AS valid,
+  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+            ELSE ceil(n_lines / 6.0) END AS BIGINT) AS n_slides,
+  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_lines END AS BIGINT)
+    AS n_content_lines
+FROM c
+"""
+
+
+def q_chart_parse(sf_dir: str):
+    """Chart-string grammar parse (pptx_designer.py:131-153): one row
+    per parsed data point, junk values -> 0.0, no-colon parts
+    skipped."""
+    from ..stages.markdown import chart_parse_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(chart_parse_batch, batch_format="pyarrow")
+
+
+SQL_CHART_PARSE = """
+SELECT doc_id,
+  'Revenue ' || CAST(doc_id AS VARCHAR) AS chart_title,
+  'Series A' AS series_name,
+  p.category,
+  p.value
+FROM documents,
+LATERAL (VALUES
+  ('Q1', CAST((doc_id * 7) % 1000 AS DOUBLE) + 0.5),
+  ('Q2', CAST((doc_id * 13) % 500 AS DOUBLE)),
+  ('Bad', 0.0)
+) AS p(category, value)
+"""
+
+
 # ---------------------------------------------------------- multimodal
 
 def _with_media(sf_dir: str, maker):
@@ -1486,6 +1656,11 @@ QUERIES = {
     "size_class_counts": q_size_class_counts,
     "sentence_split": q_sentence_split,
     "prepare_text": q_prepare_text,
+    "markdown_structure": q_markdown_structure,
+    "slide_windows": q_slide_windows,
+    "markdown_report": q_markdown_report,
+    "blueprint_validate": q_blueprint_validate,
+    "chart_parse": q_chart_parse,
     "image_decode": q_image_decode,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
@@ -1525,6 +1700,11 @@ ORACLE_SQL = {
     "longest_docs": SQL_LONGEST_DOCS,
     "sentence_split": SQL_SENTENCE_SPLIT,
     "prepare_text": SQL_PREPARE_TEXT,
+    "markdown_structure": SQL_MARKDOWN_STRUCTURE,
+    "slide_windows": SQL_SLIDE_WINDOWS,
+    "markdown_report": SQL_MARKDOWN_REPORT,
+    "blueprint_validate": SQL_BLUEPRINT_VALIDATE,
+    "chart_parse": SQL_CHART_PARSE,
     "image_decode": SQL_IMAGE_DECODE,
     "image_resize": SQL_IMAGE_RESIZE,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
