@@ -57,6 +57,11 @@ class PipelineConfig:
     # "shuffle": groupby(partition_id) dedup+combine — the general path
     #   for unbounded duplicate sets.
     dedup_mode: str = "broadcast"
+    # Byte budget for droplist driver/broadcast state. The broadcast
+    # path degrades in two bounded steps past it: distributed groupby
+    # merge (driver sees re-crawled urls only), then automatic fallback
+    # to the shuffle pipeline (see pipelines/extract.stale_droplist).
+    droplist_budget_bytes: int = 256 * 1024 * 1024
 
     # --- combine semantics ---
     # "numeric" sorts pages by page_no (core_document_generator.py:157-185);

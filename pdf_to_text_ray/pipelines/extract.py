@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max
+from ray.data.aggregate import Count, Max, Sum
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..sources.synth import synthesize_batch, synthesize_keys_batch
@@ -155,30 +155,94 @@ def _partial_key_agg(batch: pa.Table) -> pa.Table:
     )
 
 
-def stale_droplist(keys: ray.data.Dataset) -> dict[str, int]:
+class DroplistBudgetExceeded(RuntimeError):
+    """The re-crawled-url droplist itself exceeds the broadcast byte
+    budget — the caller must fall back to ``dedup_mode="shuffle"``."""
+
+
+# Default byte budget for driver-side droplist state. 256 MiB of
+# (url, ts, n) rows ≈ ~3M distinct urls per partial sweep — far below
+# driver RAM, far above any test corpus.
+DROPLIST_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def _droplist_from_dup_tables(tables, byte_budget: int) -> dict[str, int]:
+    if not tables:
+        return {}
+    if sum(t.nbytes for t in tables) > byte_budget:
+        raise DroplistBudgetExceeded(
+            "re-crawled-url droplist exceeds the broadcast budget; "
+            "use cfg.dedup_mode='shuffle'"
+        )
+    dup = pa.concat_tables(tables)
+    return dict(zip(dup["url"].to_pylist(), dup["ts"].to_pylist()))
+
+
+def _stale_droplist_shuffled(
+    partials: ray.data.Dataset, byte_budget: int
+) -> dict[str, int]:
+    """Ray-side merge: one distributed groupby reduces the partials to
+    RE-CRAWLED urls only before anything reaches the driver — driver
+    memory is O(re-crawled urls), not O(all urls)."""
+    merged = partials.groupby("url").aggregate(
+        Max("max_ts", alias_name="ts"),
+        Sum("n", alias_name="n_total"),
+    )
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t["n_total"], 1))
+        return keep.select(["url", "ts"])
+
+    dup_tables = [
+        t
+        for t in ray.get(
+            merged.map_batches(only_dups, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return _droplist_from_dup_tables(dup_tables, byte_budget)
+
+
+def stale_droplist(
+    keys: ray.data.Dataset, byte_budget: int = DROPLIST_BUDGET_BYTES
+) -> dict[str, int]:
     """url -> winning ts_us, ONLY for urls crawled more than once.
 
     Shape: map-side partial aggregation (one row per url per block),
     merged driver-side with one multithreaded pyarrow C++ group-by —
     Ray's sort-based groupby shuffle costs seconds of fixed latency that
-    this one-column merge doesn't need. Driver memory is O(distinct urls
-    in the partials); corpora beyond that use cfg.dedup_mode="shuffle".
-    The resulting broadcast dict is proportional to the RE-CRAWLED url
+    this one-column merge doesn't need. The driver merge is BOUNDED:
+    partial blocks are fetched until their cumulative bytes hit
+    ``byte_budget``; past that the merge degrades to a distributed Ray
+    groupby that reduces to re-crawled urls before anything reaches the
+    driver. If even the re-crawled set busts the budget,
+    :class:`DroplistBudgetExceeded` tells the caller to use
+    ``dedup_mode="shuffle"`` (run_extraction does this automatically).
+    The returned broadcast dict is proportional to the RE-CRAWLED url
     count only (typically a few %% of a crawl).
     """
     partials = keys.map_batches(
         _partial_key_agg, batch_format="pyarrow", batch_size=None
     )
-    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    tables, total = [], 0
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        tables.append(t)
+        total += t.nbytes
+        if total > byte_budget:
+            # cumulative partials bust the budget -> distributed merge
+            return _stale_droplist_shuffled(partials, byte_budget)
     if not tables:
         return {}
     merged = pa.TableGroupBy(
         pa.concat_tables(tables).combine_chunks(), "url"
     ).aggregate([("max_ts", "max"), ("n", "sum")])
     dup = merged.filter(pc.greater(merged["n_sum"], 1))
-    return dict(
-        zip(dup["url"].to_pylist(), dup["max_ts_max"].to_pylist())
-    )
+    dup = pa.table({"url": dup["url"], "ts": dup["max_ts_max"]})
+    return _droplist_from_dup_tables([dup] if dup.num_rows else [], byte_budget)
 
 
 # Broadcast objects are fetched from the local object store once per
@@ -276,7 +340,14 @@ def run_extraction(
 ) -> ray.data.Dataset:
     if cfg.dedup_mode == "shuffle":
         return extract_pipeline(synthesize_docs(sf_dir, repeat), cfg)
-    dups = stale_droplist(synthesize_keys(sf_dir, repeat))
+    try:
+        dups = stale_droplist(
+            synthesize_keys(sf_dir, repeat), cfg.droplist_budget_bytes
+        )
+    except DroplistBudgetExceeded:
+        # even the re-crawled-url set is too big to broadcast — the
+        # general shuffle path has no such bound
+        return extract_pipeline(synthesize_docs(sf_dir, repeat), cfg)
     return extract_pipeline_broadcast(
         synthesize_docs(sf_dir, repeat), dups, cfg
     )

@@ -115,3 +115,38 @@ def test_block_layout_invariance(sf_dir, extracted):
 def test_routes_cover_all_three(extracted):
     seen = {r for row in extracted.values() for r in row["routes"]}
     assert {"dom", "text_layer", "ocr"} <= seen
+
+def test_droplist_budget_degradation(sf_dir):
+    """The droplist merge must produce the SAME droplist through all
+    three budget regimes: unbounded driver merge, distributed-groupby
+    merge (partials bust the budget), and DroplistBudgetExceeded when
+    even the re-crawled set can't broadcast."""
+    import pytest
+
+    from pdf_to_text_ray.pipelines.extract import DroplistBudgetExceeded
+
+    keys = synthesize_keys(sf_dir)
+    default = stale_droplist(keys)
+    assert default  # cls==2 re-crawls exist
+    # tiny budget -> distributed merge path; identical result
+    small = stale_droplist(synthesize_keys(sf_dir), byte_budget=20_000)
+    assert small == default
+    # sub-droplist budget -> explicit refusal
+    with pytest.raises(DroplistBudgetExceeded):
+        stale_droplist(synthesize_keys(sf_dir), byte_budget=64)
+
+
+def test_run_extraction_shuffle_fallback(sf_dir, extracted):
+    """When the droplist busts the budget, run_extraction silently
+    degrades to the shuffle pipeline and still produces byte-identical
+    output."""
+    from dataclasses import replace
+
+    from pdf_to_text_ray.config import DEFAULT_CONFIG
+    from pdf_to_text_ray.pipelines.extract import run_extraction
+
+    cfg = replace(DEFAULT_CONFIG, droplist_budget_bytes=64)
+    rows = _by_url(run_extraction(sf_dir, cfg))
+    assert set(rows) == set(extracted)
+    for u, row in extracted.items():
+        assert rows[u]["text"] == row["text"], u
