@@ -41,6 +41,38 @@ import ray.data
 from ..config import PipelineConfig
 
 
+META_NAME = "meta.json"
+
+
+def _meta_of(cfg: PipelineConfig) -> dict:
+    return {
+        "num_partitions": cfg.num_partitions,
+        "page_separator": cfg.page_separator,
+        "combine_order": cfg.combine_order,
+    }
+
+
+def check_or_write_meta(cfg: PipelineConfig) -> None:
+    """Pin the partition layout of an output_dir. A resume whose config
+    disagrees with the meta written on first run would silently mix
+    partition layouts (duplicated/missing documents) — fail fast
+    instead."""
+    if not cfg.output_dir:
+        raise ValueError("cfg.output_dir is required for checkpointed runs")
+    path = os.path.join(cfg.output_dir, META_NAME)
+    meta = _meta_of(cfg)
+    if os.path.exists(path):
+        existing = json.load(open(path))
+        if existing != meta:
+            raise ValueError(
+                f"resume config mismatch for {cfg.output_dir}: written "
+                f"with {existing}, current config is {meta}; resume with "
+                "the original settings or use a fresh output_dir"
+            )
+        return
+    _atomic_write(path, lambda p: open(p, "w").write(json.dumps(meta)))
+
+
 def _part_name(pid: int) -> str:
     return f"part-{pid:05d}"
 
@@ -137,6 +169,7 @@ def run_checkpointed(
     """
     from ..pipelines.extract import extract_pipeline_broadcast
 
+    check_or_write_meta(cfg)
     done = completed_partitions(cfg.output_dir)
     extracted = extract_pipeline_broadcast(
         docs,

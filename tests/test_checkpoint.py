@@ -94,3 +94,23 @@ def test_data_without_lineage_is_recomputed(sf_dir, ckpt_dir):
     assert 5 not in completed_partitions(ckpt_dir)
     res = _run(sf_dir, cfg)
     assert res["computed"] == 1 and res["skipped"] == 15
+
+def test_meta_pins_partition_layout(sf_dir, ckpt_dir):
+    """Resuming with a different num_partitions (or combine settings)
+    must fail fast instead of silently mixing partition layouts."""
+    _run(sf_dir, _cfg(ckpt_dir))
+    assert os.path.exists(os.path.join(ckpt_dir, "meta.json"))
+    # identical config resumes fine
+    res = _run(sf_dir, _cfg(ckpt_dir))
+    assert res["skipped"] == 16
+    # different partition count: refused
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        _run(sf_dir, PipelineConfig(output_dir=ckpt_dir, num_partitions=8))
+    # different combine semantics: refused
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        _run(
+            sf_dir,
+            PipelineConfig(
+                output_dir=ckpt_dir, num_partitions=16, combine_order="lex"
+            ),
+        )
