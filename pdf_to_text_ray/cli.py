@@ -31,13 +31,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="local mode only; ignored when a cluster exists")
     args = ap.parse_args(argv)
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(include_dashboard=False, logging_level=logging.ERROR)
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+        # honor RAY_ADDRESS: under `ray job submit` / a running cluster
+        # it points at the cluster (attach); otherwise start local.
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(logging_level=logging.ERROR)
+        if address == "local":
+            kwargs["include_dashboard"] = False
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=address, **kwargs)
 
     from dataclasses import replace
 
