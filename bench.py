@@ -47,9 +47,17 @@ BENCH_QUERIES = [
     "lsh_topk",
     "embedding_near_dups",
     "events_hourly",
+    "events_sliding",
     "events_sessionize",
     "events_asof_orders",
     "join_orders_segment",
+    "join_orders_segment_bcast",   # strategy gap vs the shuffle join
+    "route_counts",
+    "dup_clusters",
+    "ngram_jaccard",
+    "markdown_structure",
+    "slide_windows",
+    "markdown_report",
     "summarize",
     "training_corpus",
     "doclen_quantiles",

@@ -7,12 +7,13 @@ Scale shapes (per the Ray guide / SUR­VEY plan):
   ``groupby(hash)`` keep-first — hash-partitioned, no driver state.
 * MinHash-LSH near-dup: signatures per batch → explode to
   (band_key, doc_id) rows → ``groupby(band_key)`` emits candidate
-  pairs → verification joins the (small) candidate-pair set back to
-  document text hash-partitioned on doc_id (``Dataset.join``) and
-  computes true Jaccard per pair. Only band *buckets* and candidate
-  pairs, never the corpus, live in any one place — no full-text
-  broadcast anywhere, so the path survives corpora that fit neither
-  driver memory nor a single object-store copy.
+  pairs → verification fetches ONLY the candidate texts (byte-budgeted
+  broadcast built off-driver; degrades to a hash-partitioned
+  ``Dataset.join`` past the budget — see :func:`minhash_near_dups`)
+  and computes true Jaccard per pair. Only band *buckets* and
+  candidate pairs, never the corpus, live in any one place, so the
+  path survives corpora that fit neither driver memory nor a single
+  object-store copy.
 * SimHash: 64-bit signature, candidates via banded 16-bit chunks,
   verified by Hamming distance.
 
@@ -170,6 +171,104 @@ def _pair_sides(batch: pa.Table) -> pa.Table:
     )
 
 
+# Verification regimes (mirrors the droplist byte-budget pattern,
+# pipelines/extract.py): candidate near-dup pairs are normally a tiny
+# fraction of the corpus, so the fast path broadcasts only the
+# CANDIDATE texts (never the corpus) under a byte budget; past the
+# budget it degrades to the hash-partitioned join, and when even the
+# pair-id list outgrows its budget the join runs against the
+# unfiltered corpus — each regime strictly correct, only slower.
+PAIR_ID_BUDGET_BYTES = 256 * 1024 * 1024  # pair ids on the driver
+VERIFY_TEXT_BUDGET_BYTES = 256 * 1024 * 1024  # candidate texts in one object
+
+
+@ray.remote
+def _build_text_lookup(*blocks: pa.Table) -> dict[int, str]:
+    """Assemble the candidate-id -> text dict OFF the driver (the
+    blocks and the dict only ever live in the object store)."""
+    tbl = pa.concat_tables(blocks)
+    return dict(zip(tbl["side_id"].to_pylist(), tbl["text"].to_pylist()))
+
+
+# one-entry per-process cache (same shape as extract._BCAST_CACHE)
+_VERIFY_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    val = _VERIFY_CACHE.get(key)
+    if val is None:
+        _VERIFY_CACHE.clear()
+        val = _VERIFY_CACHE[key] = ray.get(ref)
+    return val
+
+
+def make_candidate_text_filter(ids_ref):
+    """Map-only semi-join: keep only rows whose doc_id is in the
+    broadcast sorted candidate-id array."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cand = _cached_get(ids_ref)  # sorted int64 array
+        ids = batch["doc_id"].to_numpy()
+        pos = np.searchsorted(cand, ids)
+        pos_c = np.minimum(pos, len(cand) - 1)
+        keep = cand[pos_c] == ids
+        if not keep.any():
+            return pa.table(
+                {"side_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        sub = batch.filter(pa.array(keep, pa.bool_()))
+        return pa.table({"side_id": sub["doc_id"], "text": sub["text"]})
+
+    return filt
+
+
+def make_pair_verifier(lookup_ref, threshold: float):
+    """pairs batch -> (doc_a, doc_b, jaccard >= threshold) using the
+    broadcast candidate-text dict; shingle sets are memoized per batch
+    so a doc appearing in many pairs is shingled once."""
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = _cached_get(lookup_ref)
+        sh_cache: dict[int, set] = {}
+
+        def sh(did: int) -> set:
+            s = sh_cache.get(did)
+            if s is None:
+                s = sh_cache[did] = shingles(lookup[did], SHINGLE_K)
+            return s
+
+        a_ids = batch["doc_a"].to_pylist()
+        b_ids = batch["doc_b"].to_pylist()
+        out_a, out_b, sims = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sim = jaccard(sh(a), sh(b))
+            if sim >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                sims.append(sim)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return verify
+
+
+_EMPTY_VERIFIED = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
 def _pair_jaccard(df: pd.DataFrame) -> pd.DataFrame:
     """One (doc_a, doc_b) group = the pair's two joined text rows ->
     true shingle Jaccard."""
@@ -187,28 +286,16 @@ def _pair_jaccard(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def minhash_near_dups(
-    ds: ray.data.Dataset,
-    threshold: float = JACCARD_THRESHOLD,
-    num_partitions: int = 16,
+def _verify_by_join(
+    pairs: ray.data.Dataset,
+    texts: ray.data.Dataset,
+    threshold: float,
+    num_partitions: int,
 ) -> ray.data.Dataset:
-    """Verified near-duplicate pairs with their true Jaccard.
-
-    Verification is a hash-partitioned ``Dataset.join`` of the exploded
-    candidate-pair sides back to document text on doc_id, then a
-    per-pair Jaccard — the candidate set (not the corpus) is the small
-    side, and neither driver nor any single worker ever holds all
-    texts. ``num_partitions`` sizes the join exchange; raise it with
-    the cluster.
-
-    -> (doc_a, doc_b, jaccard) with jaccard >= threshold
-    """
-    pairs = minhash_candidate_pairs(ds)
+    """Fallback verification: hash-partitioned ``Dataset.join`` of the
+    exploded pair sides back to (side_id, text), then per-pair Jaccard
+    — neither driver nor any one worker ever holds all texts."""
     sides = pairs.map_batches(_pair_sides, batch_format="pyarrow")
-    texts = ds.map_batches(
-        lambda t: pa.table({"side_id": t["doc_id"], "text": t["text"]}),
-        batch_format="pyarrow",
-    )
     joined = sides.join(
         texts,
         join_type="inner",
@@ -223,6 +310,64 @@ def minhash_near_dups(
             pa.compute.greater_equal(t["jaccard"], pa.scalar(threshold))
         ),
         batch_format="pyarrow",
+    )
+
+
+def minhash_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = JACCARD_THRESHOLD,
+    num_partitions: int = 16,
+    pair_budget_bytes: int = PAIR_ID_BUDGET_BYTES,
+    text_budget_bytes: int = VERIFY_TEXT_BUDGET_BYTES,
+) -> ray.data.Dataset:
+    """Verified near-duplicate pairs with their true Jaccard.
+
+    Three verification regimes, chosen by measured size (all produce
+    the identical pair set — tests/test_training_ops.py pins it):
+
+    1. **broadcast** (normal): the pair-id list fits
+       ``pair_budget_bytes`` on the driver and the CANDIDATE texts
+       (map-side semi-join on broadcast sorted ids) fit
+       ``text_budget_bytes`` → the id→text dict is assembled off-driver
+       in a Ray task, ``ray.put`` once, and pairs verify in a map-only
+       pass — zero extra shuffles.
+    2. **filtered join**: candidate texts exceed the text budget → the
+       partitioned join runs against the pre-filtered text dataset.
+    3. **full join**: even pair ids exceed their budget (a
+       duplicate-saturated corpus) → the join runs against the
+       unfiltered corpus (``_verify_by_join``), nothing ever
+       centralized.
+
+    -> (doc_a, doc_b, jaccard) with jaccard >= threshold
+    """
+    import numpy as np
+
+    pairs = minhash_candidate_pairs(ds).materialize()
+    if pairs.size_bytes() > pair_budget_bytes:
+        texts = ds.map_batches(
+            lambda t: pa.table({"side_id": t["doc_id"], "text": t["text"]}),
+            batch_format="pyarrow",
+        )
+        return _verify_by_join(pairs, texts, threshold, num_partitions)
+
+    blocks = ray.get(pairs.to_arrow_refs())
+    pair_tbl = pa.concat_tables(blocks) if blocks else None
+    if pair_tbl is None or pair_tbl.num_rows == 0:
+        return ray.data.from_arrow(_EMPTY_VERIFIED)
+    cand = np.unique(
+        np.concatenate(
+            [pair_tbl["doc_a"].to_numpy(), pair_tbl["doc_b"].to_numpy()]
+        )
+    )
+    ids_ref = ray.put(cand)
+    cand_texts = ds.map_batches(
+        make_candidate_text_filter(ids_ref), batch_format="pyarrow"
+    ).materialize()
+    if cand_texts.size_bytes() > text_budget_bytes:
+        return _verify_by_join(pairs, cand_texts, threshold, num_partitions)
+    lookup_ref = _build_text_lookup.remote(*cand_texts.to_arrow_refs())
+    return pairs.map_batches(
+        make_pair_verifier(lookup_ref, threshold), batch_format="pyarrow"
     )
 
 

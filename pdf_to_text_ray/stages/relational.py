@@ -31,14 +31,23 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 # ------------------------------------------------------------- join
 
 def orders_by_segment(
-    orders: ray.data.Dataset, customer: ray.data.Dataset, num_partitions: int = 8
+    orders: ray.data.Dataset, customer: ray.data.Dataset, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """orders ⋈ customer (hash-partitioned large-large join) →
     per-mktsegment order count + revenue.
 
+    ``num_partitions`` defaults to cluster_CPUs/4 (floor 8): each join
+    partition is a hash-shuffle ACTOR, and measured on this box the
+    actor spin-up dominates below ~10^6 rows/partition (8 partitions:
+    2.8 s; 32: 16 s on the same sf0.1 input) — so partitions scale
+    with the cluster but stay well under one-per-core. At real scale
+    pass an explicit value sized to rows/partition, not cores.
+
     Revenue is summed in integer CENTS: float sums depend on
     accumulation order, so a parallel engine can round differently from
     a serial oracle at a .005 boundary — exact integers can't."""
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
     joined = orders.join(
         customer,
         join_type="inner",

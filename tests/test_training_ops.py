@@ -47,6 +47,24 @@ def test_minhash_finds_true_near_dups(sf_dir, documents_df):
     assert rows, "corpus contains near-dups the sketch must find"
 
 
+def test_minhash_verify_regimes_identical(sf_dir):
+    """The three verification regimes (candidate-text broadcast /
+    filtered join / full join — selected by byte budgets) must produce
+    the identical verified pair set."""
+    from pdf_to_text_ray.stages import dedup
+    from pdf_to_text_ray.pipelines.queries import _read_documents
+
+    def pairs(**kw):
+        rows = dedup.minhash_near_dups(_read_documents(sf_dir), **kw).take_all()
+        return sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 12)) for r in rows)
+
+    broadcast = pairs()
+    filtered_join = pairs(text_budget_bytes=0)
+    full_join = pairs(pair_budget_bytes=0)
+    assert broadcast == filtered_join == full_join
+    assert broadcast
+
+
 def test_simhash_pairs_are_close(sf_dir, documents_df):
     rows = QUERIES["simhash_near_dups"](sf_dir).take_all()
     texts = dict(zip(documents_df["doc_id"], documents_df["text"]))
