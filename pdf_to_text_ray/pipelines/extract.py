@@ -35,19 +35,38 @@ from ..stages.ocr import OcrEngine
 from ..stages.sniff import make_sniffer
 
 
+MIN_ROWS_PER_BLOCK = 256
+
+
+def auto_num_blocks(parquet_path: str, repeat: int = 1) -> int:
+    """Block count for a pruned read: 4x cluster CPUs (tasks outnumber
+    cores enough for balance) CAPPED so each block keeps at least
+    ``MIN_ROWS_PER_BLOCK`` source rows — per-task overhead dominates
+    below that (measured at sf0.1: 128 blocks of 39 docs ran 4x slower
+    than 16 blocks of 312). Row count comes from parquet footer
+    metadata (no data read); at real scale the cap never binds."""
+    try:
+        target = 4 * int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        target = 32
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(parquet_path).metadata.num_rows * max(1, repeat)
+        return max(1, min(target, rows // MIN_ROWS_PER_BLOCK or 1))
+    except Exception:
+        return target
+
+
 def read_documents(
-    sf_dir: str, num_blocks: int | None = None
+    sf_dir: str, num_blocks: int | None = None, repeat: int = 1
 ) -> ray.data.Dataset:
-    """Pruned-column read. ``num_blocks`` defaults to 4x cluster CPUs so
-    downstream map tasks (task = one block) outnumber cores enough for
-    balance without drowning in scheduling overhead."""
+    """Pruned-column read; see :func:`auto_num_blocks` for sizing."""
+    path = f"{sf_dir}/documents.parquet"
     if num_blocks is None:
-        try:
-            num_blocks = 4 * int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            num_blocks = 32
+        num_blocks = auto_num_blocks(path, repeat)
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        path,
         columns=["doc_id", "text", "lang"],
         override_num_blocks=num_blocks,
     )
@@ -61,9 +80,9 @@ def synthesize_docs(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     give the pipeline enough work to measure steady-state throughput.
     """
     # batch_size=None processes one whole block per call: task
-    # granularity is controlled solely by read_documents' num_blocks
-    # (4x CPUs), and each stage call stays fully vectorized.
-    return read_documents(sf_dir).map_batches(
+    # granularity is controlled solely by read_documents' num_blocks,
+    # and each stage call stays fully vectorized.
+    return read_documents(sf_dir, repeat=repeat).map_batches(
         synthesize_batch,
         fn_kwargs={"repeat": repeat},
         batch_format="pyarrow",
@@ -124,14 +143,11 @@ def synthesize_keys(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     """Pruned pre-pass: just (url, ts_us) crawl keys. On a real corpus
     this is ``read_parquet(columns=["url", "warc_ts"])`` — only two tiny
     columns leave storage, ~10^3x less bytes than the payload scan."""
-    try:
-        num_blocks = 4 * int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        num_blocks = 32
+    path = f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        path,
         columns=["doc_id"],
-        override_num_blocks=num_blocks,
+        override_num_blocks=auto_num_blocks(path, repeat),
     ).map_batches(
         synthesize_keys_batch,
         fn_kwargs={"repeat": repeat},
