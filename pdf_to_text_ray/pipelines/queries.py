@@ -1403,6 +1403,57 @@ LATERAL (VALUES
 """
 
 
+# ------------------------------------------------------- output sinks
+
+def q_render_outputs(sf_dir: str):
+    """S9-S12: render each document's markdown report to real PDF /
+    DOCX / PPTX bytes (pure-stdlib writers — sinks/render.py; reference
+    semantics final_output_generator.py:11-74 +
+    core_document_processing.py:299-415) and emit the structural
+    counts the renderers observed. Container validity + byte
+    determinism are pinned by tests/test_render.py; the structure by
+    the SQL oracle below (same construction-oracle arithmetic as the
+    markdown ops)."""
+    from ..sinks.render import render_outputs_batch
+
+    return (
+        _read_documents(sf_dir)
+        .map_batches(render_outputs_batch, batch_format="pyarrow")
+        .select_columns(
+            [
+                "doc_id",
+                "docx_paragraphs",
+                "docx_headings",
+                "docx_bullets",
+                "pptx_slides",
+                "pptx_image_prompts",
+                "pdf_pages",
+            ]
+        )
+    )
+
+
+SQL_RENDER_OUTPUTS = _SQL_MD_LINES + """
+, per_doc AS (
+  SELECT doc_id,
+    count(*) AS n_lines,
+    count(DISTINCT c // 6) AS n_sections,
+    sum(CASE WHEN c % 6 IN (2, 5) THEN 1 ELSE 0 END) AS n_bullets,
+    sum(CASE WHEN c % 6 = 4 THEN 1 ELSE 0 END) AS n_images
+  FROM lines GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_lines + p.n_sections, 0) AS BIGINT) AS docx_paragraphs,
+  CAST(COALESCE(p.n_sections, 0) AS BIGINT) AS docx_headings,
+  CAST(COALESCE(p.n_bullets, 0) AS BIGINT) AS docx_bullets,
+  CAST(COALESCE(p.n_sections, 0) AS BIGINT) AS pptx_slides,
+  CAST(COALESCE(p.n_images, 0) AS BIGINT) AS pptx_image_prompts,
+  CAST(ceil(COALESCE(p.n_lines + p.n_sections, 1) / 54.0) AS BIGINT)
+    AS pdf_pages
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 # ---------------------------------------------------------- multimodal
 
 def _with_media(sf_dir: str, maker):
@@ -1661,6 +1712,7 @@ QUERIES = {
     "markdown_report": q_markdown_report,
     "blueprint_validate": q_blueprint_validate,
     "chart_parse": q_chart_parse,
+    "render_outputs": q_render_outputs,
     "image_decode": q_image_decode,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
@@ -1705,6 +1757,7 @@ ORACLE_SQL = {
     "markdown_report": SQL_MARKDOWN_REPORT,
     "blueprint_validate": SQL_BLUEPRINT_VALIDATE,
     "chart_parse": SQL_CHART_PARSE,
+    "render_outputs": SQL_RENDER_OUTPUTS,
     "image_decode": SQL_IMAGE_DECODE,
     "image_resize": SQL_IMAGE_RESIZE,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,

@@ -1,10 +1,10 @@
 """Markdown structure / slide-windowing / blueprint operators — the
 *structured* half of the reference's output-generation surface
-(SURVEY.md §2 M16, M17, O3, S13). The PPTX/DOCX byte renderers
-themselves need python-pptx/docx (not in the sandbox and pure
-rendering, not data processing); everything the reference computes
-BEFORE handing to those libraries is implemented here as vectorizable
-``map_batches`` bodies with SQL oracles.
+(SURVEY.md §2 M16, M17, O3, S13). The PDF/DOCX/PPTX byte renderers
+live in ``sinks/render.py`` (pure-stdlib, no reportlab/python-docx/
+python-pptx needed); everything the reference computes BEFORE the
+container bytes is implemented here as ``map_batches`` bodies with
+SQL oracles.
 
 Reference semantics reproduced (file:line):
 
