@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "markdown_structure",
     "slide_windows",
     "markdown_report",
+    "render_outputs",
     "summarize",
     "training_corpus",
     "doclen_quantiles",

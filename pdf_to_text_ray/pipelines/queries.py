@@ -338,14 +338,121 @@ GROUP BY md5(text)
 
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup pairs verified by true Jaccard ≥ 0.8.
-    Verification joins candidate pairs back to text (hash-partitioned)
-    — no full-corpus broadcast anywhere. Not SQL-expressible —
-    determinism pinned by pytest."""
+    Verification fetches only candidate texts (byte-budgeted broadcast
+    with partitioned-join fallback) — no full-corpus broadcast. The SQL
+    oracle reproduces the ENTIRE sketch: universal-hash signatures with
+    the engine's own (a, b) constants inlined, banding via raw 4-tuple
+    signature equality (equivalent to the engine's band-key md5 modulo
+    md5 collisions), then the same int/int IEEE Jaccard division."""
     return dedup_mod.minhash_near_dups(_read_documents(sf_dir))
 
 
+def _minhash_params_values() -> str:
+    """(j, a_j, b_j) VALUES rows from the engine's own deterministic
+    MinHasher seed — the oracle must use bit-identical constants."""
+    from ..functions.hashing import MinHasher
+
+    mh = MinHasher()
+    return ", ".join(
+        f"({j}, {int(a)}, {int(b)})"
+        for j, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+
+
+# h_j(x) = ((a_j*x + b_j) mod (2^61-1)) mod 2^32 over 32-bit shingle
+# hashes (first 4 md5 bytes big-endian, built nibble-wise); a_j*x fits
+# UBIGINT because a, x < 2^32. Docs with no shingles take the
+# all-0xFFFFFFFF signature like MinHasher.signature does.
+SQL_MINHASH_NEAR_DUPS = r"""
+WITH params(j, a, b) AS (VALUES __MINHASH_PARAMS__),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+), shl AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) = 0 THEN []
+           WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' '
+                                    || toks[i+2]) END) AS sh
+  FROM tok
+), shx AS (
+  SELECT doc_id, s,
+    sum(CAST(strpos('0123456789abcdef', substr(md5(s), k + 1, 1)) - 1 AS UBIGINT)
+        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
+               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
+               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS UBIGINT)) AS x
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), generate_series(0, 7) AS g(k)
+  GROUP BY doc_id, s
+), sig0 AS (
+  SELECT doc_id, j,
+    min(((CAST(a AS UBIGINT) * x + CAST(b AS UBIGINT))
+         % CAST(2305843009213693951 AS UBIGINT)) % 4294967296) AS sig
+  FROM shx, params GROUP BY doc_id, j
+), sig AS (
+  SELECT d.doc_id, p.j, COALESCE(s.sig, 4294967295) AS sig
+  FROM documents d CROSS JOIN params p
+  LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.j = p.j
+), bands AS (
+  SELECT doc_id, j // 4 AS band,
+    CAST(j // 4 AS VARCHAR) || ':' ||
+      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS bkey
+  FROM sig GROUP BY doc_id, j // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+    CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 1.0
+         ELSE len(list_intersect(sa.sh, sb.sh))
+              / len(list_distinct(sa.sh || sb.sh)) END AS jaccard
+  FROM cand c JOIN shl sa ON sa.doc_id = c.doc_a
+              JOIN shl sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+""".replace("__MINHASH_PARAMS__", _minhash_params_values())
+
+
 def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dups: 64-bit signatures, candidates via 4x16-bit
+    chunk banding, verified Hamming <= 3. Banding is LOSSLESS here
+    (pigeonhole: <=3 differing bits across 4 chunks always leaves one
+    chunk equal), so the SQL oracle can enumerate all pairs directly
+    from per-bit signature reconstruction."""
     return dedup_mod.simhash_near_dups(_read_documents(sf_dir))
+
+
+# simhash64 reproduced in SQL: token hash = first 8 md5 bytes big-endian;
+# bit i lives in hex nibble 16 - i//4 at sub-bit i%4 (small shifts only —
+# DuckDB's 64-bit left shift overflow-checks); v_i = sum(+/-1); signature
+# bit = v_i > 0; hamming compared per-bit (sig never materialized as an
+# integer).
+SQL_SIMHASH_NEAR_DUPS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+), hx AS (
+  SELECT doc_id, md5(tok) AS hex FROM toks
+), bitvals AS (
+  SELECT doc_id, i,
+    sum(CASE WHEN ((strpos('0123456789abcdef',
+                           substr(hex, 16 - i // 4, 1)) - 1)
+               >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hx, generate_series(0, 63) AS g(i)
+  GROUP BY doc_id, i
+), sigbits AS (
+  SELECT d.doc_id, g.i,
+    CASE WHEN COALESCE(b.v, 0) > 0 THEN 1 ELSE 0 END AS bit
+  FROM documents d
+  CROSS JOIN generate_series(0, 63) AS g(i)
+  LEFT JOIN bitvals b ON b.doc_id = d.doc_id AND b.i = g.i
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+FROM sigbits a JOIN sigbits b ON a.i = b.i AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+"""
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -1037,12 +1144,30 @@ def q_dup_clusters(sf_dir: str):
     components (doc_id, cluster_id) via distributed min-label
     propagation — no ``take_all()``/driver state anywhere on the path
     (driver union-find remains the pytest oracle,
-    tests/test_relational.py). Not SQL-expressible without recursion —
-    rows-only; pinned by pytest."""
+    tests/test_relational.py). SQL oracle: recursive reachability
+    closure over the inlined MinHash pair SQL."""
     pairs_ds = q_minhash_near_dups(sf_dir).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
     return relational.cluster_pairs_distributed(pairs_ds)
+
+
+# Connected components as a recursive reachability closure over the
+# verified-pair edge set (the full MinHash oracle is inlined as the
+# edge source); cluster_id = min reachable node, the engine's label.
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
 
 
 # --------------------------------------------- chunker / sort / limit
@@ -1740,6 +1865,9 @@ ORACLE_SQL = {
     "events_sliding": SQL_EVENTS_SLIDING,
     "summarize": SQL_SUMMARIZE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "media_features": SQL_MEDIA_FEATURES,
     "training_corpus": SQL_TRAINING_CORPUS,
     "doclen_quantiles": SQL_DOCLEN_QUANTILES,
