@@ -639,9 +639,63 @@ FROM scored WHERE rank <= 10
 """
 
 
+def _lsh_planes_values(dim: int = 64, n_planes: int = 4, seed: int = 777) -> str:
+    """The engine's hyperplanes (same RandomState seed as
+    HyperplaneBucketer) inlined as SQL VALUES rows — full repr
+    precision so the sign tests agree bit-for-bit."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    return ", ".join(
+        "(" + ", ".join([str(i)] + [repr(float(v)) for v in planes[i]]) + ")"
+        for i in range(dim)
+    )
+
+
+# Bucket = sign pattern of the raw (unnormalized) embedding projected
+# on the 4 seeded hyperplanes; each query ranks ONLY same-bucket
+# candidates — the same pruning the engine's BucketTopK applies.
+SQL_LSH_TOPK = f"""
+WITH planes(i, p0, p1, p2, p3) AS (VALUES {_lsh_planes_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+proj AS (
+  SELECT vec_id,
+    sum(e[i + 1] * p0) AS s0, sum(e[i + 1] * p1) AS s1,
+    sum(e[i + 1] * p2) AS s2, sum(e[i + 1] * p3) AS s3
+  FROM e, planes GROUP BY vec_id
+), buck AS (
+  SELECT vec_id,
+    (CASE WHEN s0 >= 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN s1 >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN s2 >= 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN s3 >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM proj
+), q AS (
+  SELECT e.vec_id AS query_id, e.e AS qe, b.bucket
+  FROM e JOIN buck b ON b.vec_id = e.vec_id WHERE e.vec_id < 5
+), c AS (
+  SELECT e.vec_id, e.e, b.bucket
+  FROM e JOIN buck b ON b.vec_id = e.vec_id WHERE e.vec_id >= 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(q.qe, c.e), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, c.e) DESC, c.vec_id
+         ) AS rank
+  FROM q JOIN c ON c.bucket = q.bucket
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10
+"""
+
+
 def q_lsh_topk(sf_dir: str):
-    """LSH-bucketed approximate variant (scale path) — rows-only check;
-    recall vs the brute-force baseline is asserted in pytest."""
+    """LSH-bucketed approximate variant (scale path). SQL oracle:
+    hyperplane constants inlined, bucket = projection sign pattern,
+    per-bucket ranked cosine (sim rounded to 6dp like ann_cosine_topk);
+    recall vs the brute-force baseline is additionally asserted in
+    pytest."""
     qv = _query_vectors(sf_dir, 5)
     dim = len(next(iter(qv.values())))
     ds = ray.data.read_parquet(
@@ -1861,6 +1915,7 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
+    "lsh_topk": SQL_LSH_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding": SQL_EVENTS_SLIDING,
     "summarize": SQL_SUMMARIZE,
