@@ -112,7 +112,16 @@ def render_pdf_bytes(text: str) -> bytes:
 _ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
 
 
+# XML 1.0 cannot represent most C0 controls (or 0xFFFE/0xFFFF) even
+# escaped — python-docx raises on them; we drop them like a sanitizing
+# writer must (tab/newline/CR are legal and kept).
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f￾￿\ud800-\udfff]"
+)
+
+
 def _xml_escape(s: str) -> str:
+    s = _XML_ILLEGAL.sub("", s)
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 

@@ -71,3 +71,48 @@ def test_truncated_real_pdf_never_crashes_extractor(cut):
     out = make_extractor(DEFAULT_CONFIG)(batch)
     assert out.num_rows >= 1
     assert set(out["route"].to_pylist()) <= {"text_layer", "ocr", "none"}
+
+
+# ------------------------------------------------- renderer hardening
+
+@hypothesis.given(st.text(max_size=600))
+@SETTINGS
+def test_renderers_total_on_arbitrary_text(text):
+    """The PDF/DOCX/PPTX writers are total: any unicode input yields a
+    structurally valid container (xref offsets resolve, zip + XML
+    parse), deterministically."""
+    import io
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from pdf_to_text_ray.sinks.render import (
+        render_docx_bytes,
+        render_docx_from_markdown,
+        render_pdf_bytes,
+        render_pptx_bytes,
+        render_pptx_from_markdown,
+    )
+
+    pdf = render_pdf_bytes(text)
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    xref = re.search(rb"xref\n0 (\d+)\n", pdf)
+    nobjs = int(xref.group(1)) - 1
+    for n, row in enumerate(
+        pdf[xref.end():].split(b"\n")[1 : nobjs + 1], start=1
+    ):
+        assert pdf[int(row.split(b" ")[0]):].startswith(f"{n} 0 obj".encode())
+
+    for blob in (
+        render_docx_bytes(text),
+        render_docx_from_markdown(text)[0],
+        render_pptx_bytes(text),
+        render_pptx_from_markdown(text)[0],
+    ):
+        with zipfile.ZipFile(io.BytesIO(blob)) as z:
+            assert z.testzip() is None
+            for name in z.namelist():
+                if name.endswith(".xml") or name.endswith(".rels"):
+                    ET.fromstring(z.read(name))
+
+    assert render_pdf_bytes(text) == pdf
