@@ -177,19 +177,31 @@ def cluster_pairs_distributed(
     """
     import pyarrow.compute as pc
 
+    # edges feed two consumers (label seeding and the adjacency list);
+    # pin the blocks once so a lazy upstream (e.g. the whole MinHash
+    # verification pipeline) doesn't execute twice. Pair rows are two
+    # int64s — object-store resident, never on the driver.
+    edges = edges.materialize()
+
     def seed(b: pa.Table) -> pa.Table:
+        """Per-block LOCAL union-find (combiner): label = min node
+        reachable within this block's edges. Rounds then only need to
+        stitch across block boundaries — at bench scale (one block)
+        the first global round is already the fixed point, and at
+        cluster scale the round count drops from graph diameter to
+        ~block-graph diameter."""
+        a = b["doc_a"].to_pylist()
+        bb = b["doc_b"].to_pylist()
+        local = cluster_pairs(list(zip(a, bb)))
+        nodes = list(local)
         return pa.table(
             {
-                "node": pa.concat_arrays(
-                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
-                ),
-                "label": pa.concat_arrays(
-                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
-                ),
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([local[n] for n in nodes], pa.int64()),
             }
         )
 
-    # labels(node) = node, deduped
+    # labels(node) = min label over the node's blocks
     labels = (
         edges.map_batches(seed, batch_format="pyarrow")
         .groupby("node")
