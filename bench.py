@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "render_outputs",
     "summarize",
     "training_corpus",
+    "train_val_split",
+    "pii_redact",
+    "repetition_stats",
     "doclen_quantiles",
     "top_words",
     "sentence_split",

@@ -1582,6 +1582,124 @@ LATERAL (VALUES
 """
 
 
+# ----------------------------------------------- corpus-prep additions
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic md5-hash train/val split (90/10) — stable under
+    any parallelism and rerun, the standard corpus-split op."""
+    from ..stages.corpus import train_val_split_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(train_val_split_batch, batch_format="pyarrow")
+
+
+# first 8 md5 hex digits of str(doc_id) as an integer, mod 100
+SQL_TRAIN_VAL_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+    sum(CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), k + 1, 1)) - 1
+             AS BIGINT)
+        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
+               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
+               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
+  FROM documents, generate_series(0, 7) AS g(k)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+  CASE WHEN hv % 100 < 90 THEN 'train' ELSE 'val' END AS split
+FROM h
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (emails / IPv4s / phone numbers -> typed
+    placeholders) with per-doc match counts. The synthetic corpus has
+    no PII, so a deterministic per-doc_id PII suffix is injected first
+    (construction-oracle pattern); the SQL rebuilds injection and
+    redaction with the same regexes."""
+    from ..stages.corpus import pii_redact_batch
+
+    return _read_documents(sf_dir).map_batches(
+        pii_redact_batch, batch_format="pyarrow"
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH injected AS (
+  SELECT doc_id,
+    text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com 10.0.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' alt' || CAST(doc_id AS VARCHAR) || '@mail.test'
+              ELSE '' END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g') AS t
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(length(regexp_extract_all(t,
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+    regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t, '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+  n_emails, n_ips,
+  CAST(length(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+    AS n_phones
+FROM s2
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher/C4-style repetition quality gates: duplicate-word
+    fraction and most-common-2-gram fraction, raw int/int IEEE
+    divisions, plus the conjunction keep flag."""
+    from ..stages.corpus import repetition_batch
+
+    return _read_documents(sf_dir).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS word,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS ord
+  FROM documents
+), per AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT word) AS nd
+  FROM w GROUP BY doc_id
+), bgc AS (
+  SELECT a.doc_id, a.word || chr(1) || b.word AS bg, count(*) AS c
+  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  GROUP BY a.doc_id, a.word || chr(1) || b.word
+), top AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS nb FROM bgc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN COALESCE(p.n, 0) > 0 THEN (p.n - p.nd) / p.n ELSE 0.0 END
+    AS dup_word_frac,
+  CASE WHEN COALESCE(t.nb, 0) > 0 THEN t.topc / t.nb ELSE 0.0 END
+    AS top_bigram_frac,
+  (CASE WHEN COALESCE(p.n, 0) > 0 THEN (p.n - p.nd) / p.n ELSE 0.0 END) <= 0.9
+    AND (CASE WHEN COALESCE(t.nb, 0) > 0 THEN t.topc / t.nb ELSE 0.0 END) <= 0.18
+    AS keep
+FROM documents d
+LEFT JOIN per p ON p.doc_id = d.doc_id
+LEFT JOIN top t ON t.doc_id = d.doc_id
+"""
+
+
 # ------------------------------------------------------- output sinks
 
 def q_render_outputs(sf_dir: str):
@@ -1892,6 +2010,9 @@ QUERIES = {
     "blueprint_validate": q_blueprint_validate,
     "chart_parse": q_chart_parse,
     "render_outputs": q_render_outputs,
+    "train_val_split": q_train_val_split,
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
     "image_decode": q_image_decode,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
@@ -1941,6 +2062,9 @@ ORACLE_SQL = {
     "blueprint_validate": SQL_BLUEPRINT_VALIDATE,
     "chart_parse": SQL_CHART_PARSE,
     "render_outputs": SQL_RENDER_OUTPUTS,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "pii_redact": SQL_PII_REDACT,
+    "repetition_stats": SQL_REPETITION_STATS,
     "image_decode": SQL_IMAGE_DECODE,
     "image_resize": SQL_IMAGE_RESIZE,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,

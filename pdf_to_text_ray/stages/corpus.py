@@ -1,0 +1,128 @@
+"""Training-corpus preparation operators beyond cleaning/dedup:
+deterministic train/val splitting, PII redaction, and Gopher-style
+repetition statistics. These extend the reference's corpus-prep
+surface (its cleaning chain ends at normalize/clean,
+core_document_processing.py:236-292) with the ops a large-scale
+training-data pipeline needs; each is a pure per-row function inside
+``map_batches`` (no shuffle) with a DuckDB construction oracle.
+
+* train/val split — the standard md5-hash split (stable under any
+  parallelism and across reruns; never random so resuming a corpus
+  build can't re-deal documents).
+* PII redaction — emails / IPv4s / US-style phone numbers to typed
+  placeholders, with per-doc match counts. The synthetic corpus has
+  no PII, so the op injects a deterministic PII suffix per doc_id
+  (same construction-oracle pattern as the markdown ops) and the SQL
+  oracle rebuilds both the injection and the redaction.
+* repetition stats — duplicate-word fraction and most-common-2-gram
+  fraction (the Gopher/C4 repetition quality gates), emitted as raw
+  int/int IEEE divisions so DuckDB matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+TRAIN_PCT = 90
+
+_RE_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_RE_IP = re.compile(r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
+_RE_PHONE = re.compile(r"\+1-[0-9]{3}-[0-9]{4}")
+_RE_WORD = re.compile(r"\S+")
+
+
+def split_of(doc_id: int, train_pct: int = TRAIN_PCT) -> str:
+    """'train'/'val' by the first 8 md5 hex digits of str(doc_id) mod
+    100 — deterministic, parallelism- and rerun-invariant."""
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    return "train" if h % 100 < train_pct else "val"
+
+
+def train_val_split_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "split": pa.array([split_of(i) for i in ids], pa.string()),
+        }
+    )
+
+
+def inject_pii(doc_id: int, text: str) -> str:
+    """Deterministic PII suffix (the synthetic corpus contains none):
+    one email, one IPv4 and one phone per doc, plus a second email on
+    doc_id % 7 == 0 to vary the counts."""
+    extra = f" user{doc_id}@example.com 10.0.{doc_id % 256}.{doc_id % 100} +1-555-{doc_id % 10000:04d}"
+    if doc_id % 7 == 0:
+        extra += f" alt{doc_id}@mail.test"
+    return text + extra
+
+
+def redact_pii(text: str) -> tuple[str, int, int, int]:
+    """-> (redacted, n_emails, n_ips, n_phones). Order matters: emails
+    first (an IP-like substring can't survive inside one), then IPs,
+    then phones."""
+    red, n_email = _RE_EMAIL.subn("[EMAIL]", text)
+    red, n_ip = _RE_IP.subn("[IP]", red)
+    red, n_phone = _RE_PHONE.subn("[PHONE]", red)
+    return red, n_email, n_ip, n_phone
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    reds, ne, ni, np_ = [], [], [], []
+    for did, text in zip(ids, texts):
+        red, e, i, p = redact_pii(inject_pii(did, text))
+        reds.append(red)
+        ne.append(e)
+        ni.append(i)
+        np_.append(p)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "redacted": pa.array(reds, pa.string()),
+            "n_emails": pa.array(ne, pa.int64()),
+            "n_ips": pa.array(ni, pa.int64()),
+            "n_phones": pa.array(np_, pa.int64()),
+        }
+    )
+
+
+def repetition_stats(text: str) -> tuple[int, int, int, int]:
+    """-> (n_words, n_distinct_words, n_bigrams, top_bigram_count)."""
+    words = _RE_WORD.findall(text)
+    n = len(words)
+    if n < 2:
+        return n, len(set(words)), 0, 0
+    bigrams = Counter(zip(words, words[1:]))
+    return n, len(set(words)), n - 1, max(bigrams.values())
+
+
+def repetition_batch(batch: pa.Table, max_dup_frac: float = 0.9,
+                     max_top_bigram_frac: float = 0.18) -> pa.Table:
+    """Gopher-style repetition gates. Fractions are emitted as the raw
+    int/int division (IEEE-identical to the SQL oracle); ``keep`` is
+    the conjunction of both gates."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    dup_fr, big_fr, keeps = [], [], []
+    for text in texts:
+        n, nd, nb, top = repetition_stats(text)
+        d = (n - nd) / n if n else 0.0
+        b = top / nb if nb else 0.0
+        dup_fr.append(d)
+        big_fr.append(b)
+        keeps.append(d <= max_dup_frac and b <= max_top_bigram_frac)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dup_word_frac": pa.array(dup_fr, pa.float64()),
+            "top_bigram_frac": pa.array(big_fr, pa.float64()),
+            "keep": pa.array(keeps, pa.bool_()),
+        }
+    )

@@ -1,0 +1,97 @@
+"""Corpus-prep additions: train/val split, PII redaction, repetition
+gates (stages/corpus.py) — unit pins plus query-level checks (the SQL
+oracles are cross-checked by tools/check_oracle.py and the driver)."""
+
+import pyarrow as pa
+
+from pdf_to_text_ray.stages.corpus import (
+    inject_pii,
+    pii_redact_batch,
+    redact_pii,
+    repetition_batch,
+    repetition_stats,
+    split_of,
+    train_val_split_batch,
+)
+
+
+def test_split_deterministic_and_roughly_90_10():
+    splits = [split_of(i) for i in range(10_000)]
+    assert splits == [split_of(i) for i in range(10_000)]
+    frac = splits.count("train") / len(splits)
+    assert 0.88 < frac < 0.92
+
+
+def test_split_batch_schema():
+    out = train_val_split_batch(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+    )
+    assert out.column_names == ["doc_id", "split"]
+    assert set(out["split"].to_pylist()) <= {"train", "val"}
+
+
+def test_redact_order_and_counts():
+    red, ne, ni, np_ = redact_pii(
+        "write a.b-c%d+e@sub.domain.org from 192.168.0.1 call +1-555-0199 ok"
+    )
+    assert (ne, ni, np_) == (1, 1, 1)
+    assert red == "write [EMAIL] from [IP] call [PHONE] ok"
+
+
+def test_redact_no_false_positives_on_plain_text():
+    red, ne, ni, np_ = redact_pii("just plain words 1.2 not-an-ip 12.34")
+    assert (ne, ni, np_) == (0, 0, 0)
+    assert "[" not in red
+
+
+def test_inject_pii_arithmetic():
+    assert inject_pii(15, "x").endswith(
+        " user15@example.com 10.0.15.15 +1-555-0015"
+    )
+    assert inject_pii(7, "x").endswith(" alt7@mail.test")  # 7 % 7 == 0
+
+
+def test_pii_batch_counts():
+    out = pii_redact_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "text": pa.array(["a", "b"], pa.string()),
+            }
+        )
+    )
+    assert out["n_emails"].to_pylist() == [2, 1]  # doc 7 gets the alt email
+    assert out["n_ips"].to_pylist() == [1, 1]
+    assert out["n_phones"].to_pylist() == [1, 1]
+    assert "@" not in out["redacted"][0].as_py()
+
+
+def test_repetition_stats_edges():
+    assert repetition_stats("") == (0, 0, 0, 0)
+    assert repetition_stats("one") == (1, 1, 0, 0)
+    # "a b a b a": words 5, distinct 2, bigrams 4, top ('a','b') x2
+    assert repetition_stats("a b a b a") == (5, 2, 4, 2)
+
+
+def test_repetition_gates():
+    out = repetition_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spam spam spam spam spam",
+                        # 30 distinct words: top bigram frac 1/29 ~ 0.034
+                        " ".join(f"w{i}" for i in range(30)),
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["dup_word_frac"] == 4 / 5
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[1]["keep"] is False  # bigram gate trips
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["keep"] is True
