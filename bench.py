@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "lsh_topk",
     "embedding_near_dups",
+    "embedding_near_dups_lsh",
     "events_hourly",
     "events_sliding",
     "events_sessionize",

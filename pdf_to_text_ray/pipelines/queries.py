@@ -1966,6 +1966,45 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """The SCALE path for embedding near-dedup: pairs scored only
+    within an LSH bucket (groupby(bucket) exchange, per-bucket matmul)
+    — compute is sum of |bucket|², never corpus². Same threshold and
+    rounding as the all-pairs oracle variant; recall < 1 by design."""
+    from ..stages.similarity import embedding_near_dups_lsh
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dups_lsh(ds, dim=64, threshold=0.1, n_planes=4)
+
+
+SQL_EMBEDDING_NEAR_DUPS_LSH = f"""
+WITH planes(i, p0, p1, p2, p3) AS (VALUES {_lsh_planes_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+proj AS (
+  SELECT vec_id,
+    sum(e[i + 1] * p0) AS s0, sum(e[i + 1] * p1) AS s1,
+    sum(e[i + 1] * p2) AS s2, sum(e[i + 1] * p3) AS s3
+  FROM e, planes GROUP BY vec_id
+), buck AS (
+  SELECT vec_id,
+    (CASE WHEN s0 >= 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN s1 >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN s2 >= 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN s3 >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM proj
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_cosine_similarity(ea.e, eb.e), 6) AS sim
+FROM buck a
+JOIN buck b ON b.bucket = a.bucket AND b.vec_id > a.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.e, eb.e) >= 0.1
+"""
+
+
 # ---------------------------------------------------------- registries
 
 QUERIES = {
@@ -2018,6 +2057,7 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "media_features": q_media_features,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
 }
 
 ORACLE_SQL = {
@@ -2069,4 +2109,5 @@ ORACLE_SQL = {
     "image_resize": SQL_IMAGE_RESIZE,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "embedding_near_dups_lsh": SQL_EMBEDDING_NEAR_DUPS_LSH,
 }

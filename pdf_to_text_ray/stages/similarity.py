@@ -268,3 +268,74 @@ def lsh_topk(
     return local.groupby("query_id").map_groups(
         _topk_per_query(k), batch_format="pandas"
     )
+
+
+# ---------- LSH-bucketed near-dup pair generation (the scale path) ----------
+
+_BUCKETER_CACHE: dict = {}
+
+
+def _bucket_tag_task(
+    batch: pa.Table, dim: int = 0, n_planes: int = 4, seed: int = 777
+) -> pa.Table:
+    key = (dim, n_planes, seed)
+    b = _BUCKETER_CACHE.get(key)
+    if b is None:
+        _BUCKETER_CACHE.clear()
+        b = _BUCKETER_CACHE[key] = HyperplaneBucketer(dim, n_planes, seed)
+    return b(batch)
+
+
+def _pairs_within_bucket(threshold: float):
+    def fn(group: pa.Table) -> pa.Table:
+        m = _batch_matrix(group)
+        ids = group["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        sims = m @ m.T
+        # vec_a < vec_b and above threshold, in one 2-D mask
+        mask = (sims >= threshold) & (ids[None, :] > ids[:, None])
+        ii, jj = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
+                "sim": pa.array(
+                    [round(float(x), 6) for x in sims[ii, jj]], pa.float64()
+                ),
+            }
+        )
+
+    return fn
+
+
+def embedding_near_dups_lsh(
+    ds: ray.data.Dataset,
+    dim: int,
+    threshold: float = 0.1,
+    n_planes: int = 4,
+    seed: int = 777,
+) -> ray.data.Dataset:
+    """Near-dup candidate pairs scored ONLY within an LSH bucket —
+    the scale path for embedding near-dedup (the corpus-all-pairs
+    variant, q_embedding_near_dups, stays as the small-sf oracle).
+
+    Compute per bucket is |bucket|² instead of corpus²; the exchange
+    ships one int64 bucket tag per vector plus the embeddings once
+    (``groupby(bucket)``). Raise ``n_planes`` with corpus size so
+    buckets stay bounded (each plane halves the expected bucket —
+    2^n_planes buckets); recall < 1 by design, traded for the
+    2^n_planes-fold pair-set reduction.
+
+    -> (vec_a, vec_b, sim) with sim >= threshold, sim rounded to 6dp
+    """
+    tagged = ds.map_batches(
+        _bucket_tag_task,
+        fn_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return tagged.groupby("bucket").map_groups(
+        _pairs_within_bucket(threshold), batch_format="pyarrow"
+    )

@@ -196,3 +196,20 @@ def test_rows_only_queries_are_deterministic(sf_dir):
         a = sorted(map(repr, QUERIES[name](sf_dir).take_all()))
         b = sorted(map(repr, QUERIES[name](sf_dir).take_all()))
         assert a == b, name
+
+
+def test_embedding_lsh_pairs_subset_of_all_pairs(sf_dir):
+    """Every bucketed pair is a true pair of the all-pairs variant
+    (same threshold/rounding), and bucketing prunes the pair set."""
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in QUERIES["embedding_near_dups_lsh"](sf_dir).take_all()
+    }
+    full = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in QUERIES["embedding_near_dups"](sf_dir).take_all()
+    }
+    assert lsh, "bucketed variant must find pairs"
+    assert set(lsh) < set(full)  # strict subset: pruning really happened
+    for k, sim in lsh.items():
+        assert full[k] == sim
