@@ -7,11 +7,12 @@ Ray is initialised by the driver BEFORE this module is imported; no
 * ``entry()``       — flagship extraction pipeline on sf0.001.
 * ``queries()``     — one callable per implemented operator/pipeline
                       (SURVEY.md §2 + training-data ops).
-* ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
-                      query (same column names/types). Non-SQL ops
-                      (MinHash/SimHash LSH, LSH top-k, summarizer,
-                      route split) are rows-only checked here and
-                      pinned by pytest goldens instead.
+* ``oracle_sql()``  — DuckDB-equivalent SQL for every query except
+                      ``size_class_counts`` (zlib payload bytes are
+                      inherently non-SQL; it is rows-only checked and
+                      pinned by pytest). The MinHash/SimHash sketches,
+                      LSH bucketing, clustering (recursive closure)
+                      and renderers all have full SQL oracles.
 """
 
 from __future__ import annotations
