@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "render_outputs",
     "summarize",
     "training_corpus",
+    "text_windows",
     "train_val_split",
     "pii_redact",
     "repetition_stats",

@@ -1700,6 +1700,62 @@ LEFT JOIN top t ON t.doc_id = d.doc_id
 """
 
 
+WINDOW_TOKENS = 50
+WINDOW_STRIDE = 25
+
+
+def q_text_windows(sf_dir: str):
+    """Sliding token windows (50 tokens, stride 25) — the LLM
+    context-prep chunker: every window start s = 0, 25, ... < n_tokens,
+    trailing partial window kept."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        ids, wids, ntoks, texts = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _re.findall(r"\S+", text)
+            for w, s in enumerate(range(0, max(len(toks), 1), WINDOW_STRIDE)):
+                window = toks[s : s + WINDOW_TOKENS]
+                if not window:
+                    break
+                ids.append(did)
+                wids.append(w)
+                ntoks.append(len(window))
+                texts.append(" ".join(window))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "window_id": pa.array(wids, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "window_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TEXT_WINDOWS = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\\S+')) AS word,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+  FROM documents
+), starts AS (
+  -- a window starts wherever a word sits at ord = s+1 with s % 25 = 0
+  -- (equivalently: every start < n_tokens, partial tail kept)
+  SELECT doc_id, CAST((ord - 1) // 25 AS BIGINT) AS w_id, ord - 1 AS s
+  FROM w WHERE (ord - 1) % 25 = 0
+)
+SELECT s.doc_id, s.w_id AS window_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  string_agg(w.word, ' ' ORDER BY w.ord) AS window_text
+FROM starts s
+JOIN w ON w.doc_id = s.doc_id AND w.ord > s.s AND w.ord <= s.s + 50
+GROUP BY s.doc_id, s.w_id
+"""
+
+
 # ------------------------------------------------------- output sinks
 
 def q_render_outputs(sf_dir: str):
@@ -2052,6 +2108,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
+    "text_windows": q_text_windows,
     "image_decode": q_image_decode,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
@@ -2105,6 +2162,7 @@ ORACLE_SQL = {
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "pii_redact": SQL_PII_REDACT,
     "repetition_stats": SQL_REPETITION_STATS,
+    "text_windows": SQL_TEXT_WINDOWS,
     "image_decode": SQL_IMAGE_DECODE,
     "image_resize": SQL_IMAGE_RESIZE,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
