@@ -29,7 +29,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode only; ignored when a cluster exists")
+    ap.add_argument("--query", default=None, metavar="NAME",
+                    help="run a registered query instead of the "
+                         "extraction pipeline (see --list-queries); "
+                         "with --output, writes partitioned parquet")
+    ap.add_argument("--list-queries", action="store_true")
+    ap.add_argument("--export-outputs", default=None, metavar="DIR",
+                    help="render per-doc PDF/DOCX/PPTX into DIR "
+                         "(the export_all_outputs sink)")
     args = ap.parse_args(argv)
+
+    if args.list_queries:
+        from .pipelines.queries import ORACLE_SQL, QUERIES
+
+        for name in QUERIES:
+            tag = "sql" if name in ORACLE_SQL else "rows-only"
+            print(f"{name}\t{tag}")
+        return 0
 
     import os
 
@@ -62,6 +78,45 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=args.num_partitions,
         output_dir=args.output,
     )
+
+    if args.export_outputs:
+        import ray.data
+
+        from .sinks.render import export_all_outputs
+
+        docs = ray.data.read_parquet(
+            f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        manifest = export_all_outputs(
+            docs, args.export_outputs, num_partitions=args.num_partitions
+        )
+        n = manifest.count()
+        print(json.dumps({"docs_exported": n, "output": args.export_outputs}))
+        ray.shutdown()
+        return 0
+
+    if args.query:
+        from .pipelines.queries import QUERIES
+
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; see --list-queries",
+                  file=sys.stderr)
+            return 2
+        result = QUERIES[args.query](args.sf_dir)
+        if args.output:
+            # partitioned parquet, resumable by rerunning into the same
+            # dir (write_parquet writes one file per block)
+            result.write_parquet(args.output)
+            import ray.data as _rd
+
+            n = _rd.read_parquet(args.output).count()
+        else:
+            n = result.count()
+        print(json.dumps(
+            {"query": args.query, "rows": n, "output": args.output}
+        ))
+        ray.shutdown()
+        return 0
 
     if args.output:
         from .state.checkpoint import completed_partitions, run_checkpointed

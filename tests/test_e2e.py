@@ -150,3 +150,38 @@ def test_run_extraction_shuffle_fallback(sf_dir, extracted):
     assert set(rows) == set(extracted)
     for u, row in extracted.items():
         assert rows[u]["text"] == row["text"], u
+
+
+def test_cli_query_and_export_paths(tmp_path):
+    """CLI smoke (subprocess — the CLI owns its own Ray session):
+    --list-queries needs no session; --query writes parquet."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # force a private local session
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_text_ray.cli", "--list-queries"],
+        capture_output=True, text=True, cwd=root, env=env,
+    )
+    assert out.returncode == 0
+    listed = dict(l.split("\t") for l in out.stdout.strip().splitlines())
+    assert listed["extract_e2e"] == "sql"
+    assert listed["size_class_counts"] == "rows-only"
+
+    qdir = str(tmp_path / "q")
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_text_ray.cli", "--num-cpus", "2",
+         "--query", "lang_id", "--output", qdir],
+        capture_output=True, text=True, cwd=root, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 500
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(qdir).num_rows == 500
