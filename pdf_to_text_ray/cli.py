@@ -104,8 +104,16 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         result = QUERIES[args.query](args.sf_dir)
         if args.output:
-            # partitioned parquet, resumable by rerunning into the same
-            # dir (write_parquet writes one file per block)
+            # write_parquet appends uniquely-named files — rerunning
+            # into a non-empty dir would silently duplicate rows, so
+            # refuse instead
+            if os.path.isdir(args.output) and os.listdir(args.output):
+                print(
+                    f"output dir {args.output!r} is not empty; "
+                    "use a fresh dir",
+                    file=sys.stderr,
+                )
+                return 2
             result.write_parquet(args.output)
             import ray.data as _rd
 

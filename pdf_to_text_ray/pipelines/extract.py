@@ -238,9 +238,12 @@ def stale_droplist(
     The returned broadcast dict is proportional to the RE-CRAWLED url
     count only (typically a few %% of a crawl).
     """
+    # materialized so the budget-overflow fallback reuses the executed
+    # blocks instead of re-running the whole key scan (partials are
+    # tiny url/ts/n rows, object-store resident)
     partials = keys.map_batches(
         _partial_key_agg, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()
     tables, total = [], 0
     for ref in partials.to_arrow_refs():
         t = ray.get(ref)
@@ -261,21 +264,7 @@ def stale_droplist(
     return _droplist_from_dup_tables([dup] if dup.num_rows else [], byte_budget)
 
 
-# Broadcast objects are fetched from the local object store once per
-# worker PROCESS and cached here — never deserialized per batch. The
-# cache holds ONE entry (only the latest broadcast is ever live in a
-# run; an unbounded dict would leak a full droplist copy per run in
-# long-lived workers).
-_BCAST_CACHE: dict[str, object] = {}
-
-
-def _get_broadcast(ref):
-    key = ref.hex()
-    val = _BCAST_CACHE.get(key)
-    if val is None:
-        _BCAST_CACHE.clear()
-        val = _BCAST_CACHE[key] = ray.get(ref)
-    return val
+from ..functions.broadcast import cached_get as _get_broadcast  # noqa: E402
 
 
 def make_stale_filter(dups_ref):

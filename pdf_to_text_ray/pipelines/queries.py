@@ -385,9 +385,13 @@ tok AS (
   FROM (SELECT doc_id, unnest(sh) AS s FROM shl), generate_series(0, 7) AS g(k)
   GROUP BY doc_id, s
 ), sig0 AS (
+  -- min over FULL mod-p values, truncated to 32 bits AFTER the min —
+  -- MinHasher.signature does hv.min() & 0xFFFFFFFF, not min(hv & ...),
+  -- and the two differ whenever the argmin of the 61-bit values isn't
+  -- also the argmin of their low 32 bits
   SELECT doc_id, j,
-    min(((CAST(a AS UBIGINT) * x + CAST(b AS UBIGINT))
-         % CAST(2305843009213693951 AS UBIGINT)) % 4294967296) AS sig
+    min((CAST(a AS UBIGINT) * x + CAST(b AS UBIGINT))
+        % CAST(2305843009213693951 AS UBIGINT)) % 4294967296 AS sig
   FROM shx, params GROUP BY doc_id, j
 ), sig AS (
   SELECT d.doc_id, p.j, COALESCE(s.sig, 4294967295) AS sig

@@ -460,6 +460,13 @@ def render_pptx_bytes(text: str) -> bytes:
     return _pptx_package(slides)
 
 
+# NB: deliberately NOT shared with stages/markdown.parse_markdown —
+# that module reproduces the docx-parser line grammar
+# (core_document_processing.py:381-407, headings checked first) while
+# this renderer reproduces the pptx-parser grammar (ibid. 341-372,
+# image tag checked first, '###' only bolds when no space follows).
+# The two reference functions genuinely classify lines differently;
+# keep each copy byte-faithful to its own source.
 _RE_SLIDE_SPLIT = re.compile(r"(?=\n#+\s)")
 _RE_TITLE = re.compile(r"(#+)\s*(.*)")
 _RE_IMAGE = re.compile(r"\[Image of (.+?)\]", re.IGNORECASE)

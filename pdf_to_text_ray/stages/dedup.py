@@ -132,16 +132,15 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return _partition_pairs(df, "band_key")
 
 
-_MINHASH_CACHE: dict[tuple, MinHashStage] = {}
-
-
 def minhash_task_fn(
     batch: pa.Table, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS
 ) -> pa.Table:
-    key = (num_perm, num_bands)
-    stage = _MINHASH_CACHE.get(key)
-    if stage is None:
-        stage = _MINHASH_CACHE[key] = MinHashStage(num_perm, num_bands)
+    from ..functions.broadcast import cached_build
+
+    stage = cached_build(
+        ("minhash_stage", num_perm, num_bands),
+        lambda: MinHashStage(num_perm, num_bands),
+    )
     return stage(batch)
 
 
@@ -190,17 +189,7 @@ def _build_text_lookup(*blocks: pa.Table) -> dict[int, str]:
     return dict(zip(tbl["side_id"].to_pylist(), tbl["text"].to_pylist()))
 
 
-# one-entry per-process cache (same shape as extract._BCAST_CACHE)
-_VERIFY_CACHE: dict[str, object] = {}
-
-
-def _cached_get(ref):
-    key = ref.hex()
-    val = _VERIFY_CACHE.get(key)
-    if val is None:
-        _VERIFY_CACHE.clear()
-        val = _VERIFY_CACHE[key] = ray.get(ref)
-    return val
+from ..functions.broadcast import cached_get as _cached_get  # noqa: E402
 
 
 def make_candidate_text_filter(ids_ref):
@@ -269,19 +258,42 @@ _EMPTY_VERIFIED = pa.table(
 )
 
 
-def _pair_jaccard(df: pd.DataFrame) -> pd.DataFrame:
-    """One (doc_a, doc_b) group = the pair's two joined text rows ->
-    true shingle Jaccard."""
-    df = df.sort_values("side_id", kind="mergesort")
+def _partition_pair_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-PARTITION of joined pair rows (complete pairs — same
+    pair key → same partition) -> per-pair true shingle Jaccard.
+    Grouping by partition instead of by pair avoids one pandas group
+    per candidate pair (the per-group-overhead cliff the band-bucket
+    path already dodges); shingle sets are memoized per side within
+    the partition."""
+    df = df.sort_values(["doc_a", "doc_b", "side_id"], kind="mergesort")
+    a = df["doc_a"].to_numpy()
+    b = df["doc_b"].to_numpy()
+    sides = df["side_id"].to_numpy()
     texts = df["text"].tolist()
-    sim = jaccard(
-        shingles(texts[0], SHINGLE_K), shingles(texts[-1], SHINGLE_K)
-    )
+    sh_cache: dict[int, set] = {}
+
+    def sh(side_idx: int) -> set:
+        key = int(sides[side_idx])
+        s = sh_cache.get(key)
+        if s is None:
+            s = sh_cache[key] = shingles(texts[side_idx], SHINGLE_K)
+        return s
+
+    out_a, out_b, sims = [], [], []
+    i, n = 0, len(df)
+    while i + 1 < n:
+        if a[i] == a[i + 1] and b[i] == b[i + 1]:
+            out_a.append(int(a[i]))
+            out_b.append(int(b[i]))
+            sims.append(jaccard(sh(i), sh(i + 1)))
+            i += 2
+        else:  # unmatched side (can't happen after an inner join)
+            i += 1
     return pd.DataFrame(
         {
-            "doc_a": pd.array([int(df["doc_a"].iloc[0])], "int64"),
-            "doc_b": pd.array([int(df["doc_b"].iloc[0])], "int64"),
-            "jaccard": pd.array([sim], "float64"),
+            "doc_a": pd.array(out_a, "int64"),
+            "doc_b": pd.array(out_b, "int64"),
+            "jaccard": pd.array(sims, "float64"),
         }
     )
 
@@ -302,8 +314,23 @@ def _verify_by_join(
         num_partitions=num_partitions,
         on=("side_id",),
     )
-    verified = joined.groupby(["doc_a", "doc_b"]).map_groups(
-        _pair_jaccard, batch_format="pandas"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{x}:{y}"
+            for x, y in zip(
+                batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()
+            )
+        ]
+        return batch.append_column(
+            "pair_part",
+            pa.array(_key_partition(keys, NUM_LSH_PARTITIONS), pa.int32()),
+        )
+
+    verified = (
+        joined.map_batches(tag, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(_partition_pair_jaccard, batch_format="pandas")
     )
     return verified.map_batches(
         lambda t: t.filter(

@@ -42,7 +42,9 @@ class BruteForceTopK:
         q = ray.get(queries_ref)  # dict qid -> np.ndarray [d]
         self._qids = sorted(q)
         qm = np.stack([np.asarray(q[i], dtype=np.float64) for i in self._qids])
-        self._qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+        qnorms[qnorms == 0] = 1.0  # zero query -> zero sims, not NaN
+        self._qm = qm / qnorms
         self._k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -84,19 +86,16 @@ def _topk_per_query(k: int):
 # actor pool pins CPUs for the whole run, and two such pools around a
 # shuffle deadlock a small node (2+2 actors on 4 CPUs leave the sort no
 # CPU). Actor pools stay the right tool for heavy state (real models).
-# Each cache holds ONE entry — only the latest broadcast is live, and
-# an unbounded dict leaks a query-matrix copy per run in long-lived
-# workers.
-_SCORER_CACHE: dict = {}
+# Derived scorers/bucketers are memoized per worker in the shared
+# bounded LRU (functions/broadcast.py).
+from ..functions.broadcast import cached_build as _cached_build  # noqa: E402
 
 
 def _scorer(queries_ref, k: int) -> BruteForceTopK:
-    key = (queries_ref.hex(), k)
-    sc = _SCORER_CACHE.get(key)
-    if sc is None:
-        _SCORER_CACHE.clear()
-        sc = _SCORER_CACHE[key] = BruteForceTopK(queries_ref, k)
-    return sc
+    return _cached_build(
+        ("bf_topk", queries_ref.hex(), k),
+        lambda: BruteForceTopK(queries_ref, k),
+    )
 
 
 def _bf_topk_task(batch: pa.Table, queries_ref=None, k: int = 10) -> pa.Table:
@@ -166,7 +165,9 @@ class BucketTopK:
         qids = sorted(q)
         qm_raw = np.stack([np.asarray(q[i], dtype=np.float64) for i in qids])
         q_buckets = self._bucketer.bucket_of(qm_raw)
-        qm = qm_raw / np.linalg.norm(qm_raw, axis=1, keepdims=True)
+        qnorms = np.linalg.norm(qm_raw, axis=1, keepdims=True)
+        qnorms[qnorms == 0] = 1.0  # zero query -> zero sims, not NaN
+        qm = qm_raw / qnorms
         grouped: dict[int, list[int]] = {}
         for pos, qid in enumerate(qids):
             grouped.setdefault(int(q_buckets[pos]), []).append(pos)
@@ -222,9 +223,6 @@ class BucketTopK:
         )
 
 
-_BUCKET_SCORER_CACHE: dict = {}
-
-
 def _bucket_score_task(
     batch: pa.Table,
     queries_ref=None,
@@ -232,13 +230,10 @@ def _bucket_score_task(
     n_planes: int = 4,
     k: int = 10,
 ) -> pa.Table:
-    key = (queries_ref.hex(), dim, n_planes, k)
-    sc = _BUCKET_SCORER_CACHE.get(key)
-    if sc is None:
-        _BUCKET_SCORER_CACHE.clear()
-        sc = _BUCKET_SCORER_CACHE[key] = BucketTopK(
-            queries_ref, dim, n_planes, k
-        )
+    sc = _cached_build(
+        ("bucket_topk", queries_ref.hex(), dim, n_planes, k),
+        lambda: BucketTopK(queries_ref, dim, n_planes, k),
+    )
     return sc(batch)
 
 
@@ -272,17 +267,13 @@ def lsh_topk(
 
 # ---------- LSH-bucketed near-dup pair generation (the scale path) ----------
 
-_BUCKETER_CACHE: dict = {}
-
-
 def _bucket_tag_task(
     batch: pa.Table, dim: int = 0, n_planes: int = 4, seed: int = 777
 ) -> pa.Table:
-    key = (dim, n_planes, seed)
-    b = _BUCKETER_CACHE.get(key)
-    if b is None:
-        _BUCKETER_CACHE.clear()
-        b = _BUCKETER_CACHE[key] = HyperplaneBucketer(dim, n_planes, seed)
+    b = _cached_build(
+        ("bucketer", dim, n_planes, seed),
+        lambda: HyperplaneBucketer(dim, n_planes, seed),
+    )
     return b(batch)
 
 

@@ -168,8 +168,12 @@ def test_markdown_queries_run(sf_dir):
 
     assert QUERIES["markdown_structure"](sf_dir).count() > 0
     assert QUERIES["slide_windows"](sf_dir).count() > 0
-    rows = QUERIES["blueprint_validate"](sf_dir).take(20)
-    assert any(not r["valid"] for r in rows) or all(r["valid"] for r in rows)
+    rows = QUERIES["blueprint_validate"](sf_dir).take_all()
+    # the corrupt path fires exactly on doc_id % 13 == 0
+    for r in rows:
+        assert r["valid"] == (r["doc_id"] % 13 != 0), r
+    assert any(not r["valid"] for r in rows)
+    assert any(r["valid"] for r in rows)
 
 
 def test_text_lines_empty():
