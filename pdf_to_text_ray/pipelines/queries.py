@@ -40,8 +40,12 @@ _US = "\x1f"
 
 
 def _read_documents(sf_dir: str) -> ray.data.Dataset:
+    """Pruned read for the text-op queries: only (doc_id, text) leave
+    storage (no query in this module reads the stored lang column —
+    lang_id PREDICTS language from text; the extraction path reads its
+    own columns via pipelines.extract.read_documents)."""
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
 
