@@ -213,3 +213,44 @@ def test_embedding_lsh_pairs_subset_of_all_pairs(sf_dir):
     assert set(lsh) < set(full)  # strict subset: pruning really happened
     for k, sim in lsh.items():
         assert full[k] == sim
+
+
+def test_minhash_engine_matches_sql_oracle_at_borderline_jaccard(tmp_path):
+    """Regression for the oracle hash-family drift: engine and DuckDB
+    oracle must emit the IDENTICAL verified pair set on a corpus built
+    to sit around the 0.8 Jaccard threshold (J=(118-m)/(118+m) for the
+    (0, m) pairs — from ~0.98 down through the threshold), where a
+    signature mismatch shows up as banding differences."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    import ray.data
+    from pdf_to_text_ray.stages import dedup
+    from pdf_to_text_ray.pipelines.queries import SQL_MINHASH_NEAR_DUPS
+
+    words = [f"tok{i}" for i in range(120)]
+    docs = [(0, " ".join(words))]
+    for m in range(1, 30):
+        docs.append((m, " ".join(words[:-m] + [f"alt{m}x{j}" for j in range(m)])))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq_mod.write_table(tbl, path)
+
+    rows = dedup.minhash_near_dups(ray.data.from_arrow(tbl)).take_all()
+    eng = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in rows)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = sorted(
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(SQL_MINHASH_NEAR_DUPS).fetchall()
+    )
+    assert eng == want
+    js = [j for _, _, j in want]
+    assert js and min(js) < 0.85, "corpus must exercise the borderline region"
