@@ -88,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         manifest = export_all_outputs(
-            docs, args.export_outputs, num_partitions=args.num_partitions
+            docs,
+            args.export_outputs,
+            num_partitions=args.num_partitions,
+            resume=args.resume,
         )
         n = manifest.count()
         print(json.dumps({"docs_exported": n, "output": args.export_outputs}))

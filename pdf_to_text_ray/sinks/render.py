@@ -564,31 +564,57 @@ def render_outputs_batch(batch: pa.Table) -> pa.Table:
 
 
 def export_all_outputs(
-    ds, output_dir: str, num_partitions: int = 64
+    ds, output_dir: str, num_partitions: int = 64, resume: bool = False
 ):
     """Distributed ``export_all_outputs``: render every document's
     three artifacts and write ``part=<pid>/doc_<doc_id>.{pdf,docx,pptx}``
     (pid = doc_id % num_partitions — bounded directory fan-out, and a
     rerun overwrites atomically via tmp+rename so partial runs never
-    leave torn files). Returns the manifest Dataset
-    (doc_id, partition, pdf_bytes, docx_bytes, pptx_bytes)."""
+    leave torn files). With ``resume=True`` a doc whose three artifacts
+    already exist non-empty is not re-rendered (sizes read from disk),
+    so an interrupted export restarts where it stopped. Returns the
+    manifest Dataset (doc_id, partition, pdf_bytes, docx_bytes,
+    pptx_bytes)."""
 
     def write_batch(batch: pa.Table) -> pa.Table:
-        rendered = render_outputs_batch(batch)
-        ids = rendered["doc_id"].to_pylist()
-        parts_col, sizes = [], {"pdf": [], "docx": [], "pptx": []}
+        ids = batch["doc_id"].to_pylist()
+        paths = {}
+        done_rows = set()
         for row, did in enumerate(ids):
             pid = did % num_partitions
             part_dir = os.path.join(output_dir, f"part={pid}")
-            os.makedirs(part_dir, exist_ok=True)
-            for ext in ("pdf", "docx", "pptx"):
-                blob = rendered[ext][row].as_py()
-                final = os.path.join(part_dir, f"doc_{did}.{ext}")
-                tmp = final + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(blob)
-                os.replace(tmp, final)
-                sizes[ext].append(len(blob))
+            paths[row] = (
+                pid,
+                [os.path.join(part_dir, f"doc_{did}.{ext}")
+                 for ext in ("pdf", "docx", "pptx")],
+            )
+            if resume:
+                try:
+                    if all(os.path.getsize(p) > 0 for p in paths[row][1]):
+                        done_rows.add(row)
+                except OSError:
+                    pass
+        todo = [r for r in range(len(ids)) if r not in done_rows]
+        rendered = (
+            render_outputs_batch(batch.take(todo)) if todo else None
+        )
+        parts_col, sizes = [], {"pdf": [], "docx": [], "pptx": []}
+        todo_pos = {r: i for i, r in enumerate(todo)}
+        for row, did in enumerate(ids):
+            pid, finals = paths[row]
+            if row in done_rows:
+                for ext, final in zip(("pdf", "docx", "pptx"), finals):
+                    sizes[ext].append(os.path.getsize(final))
+            else:
+                os.makedirs(os.path.dirname(finals[0]), exist_ok=True)
+                i = todo_pos[row]
+                for ext, final in zip(("pdf", "docx", "pptx"), finals):
+                    blob = rendered[ext][i].as_py()
+                    tmp = final + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(blob)
+                    os.replace(tmp, final)
+                    sizes[ext].append(len(blob))
             parts_col.append(pid)
         return pa.table(
             {

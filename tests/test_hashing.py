@@ -83,3 +83,25 @@ def test_winnow_fingerprint_properties():
     assert sub_fp & set(fp)
     assert winnow_fingerprint("") == []
     assert winnow_fingerprint("ab") != []
+
+
+def test_broadcast_lru_bounds_and_reuse():
+    from pdf_to_text_ray.functions import broadcast as bc
+
+    bc._BUILT.clear()
+    calls = []
+
+    def make(k):
+        return lambda: calls.append(k) or k
+
+    for k in range(bc.MAX_ENTRIES + 2):
+        assert bc.cached_build(("t", k), make(k)) == k
+    assert len(bc._BUILT) == bc.MAX_ENTRIES  # bounded
+    # most-recent key is still cached (no rebuild)
+    n = len(calls)
+    last = bc.MAX_ENTRIES + 1
+    assert bc.cached_build(("t", last), make(last)) == last
+    assert len(calls) == n
+    # oldest was evicted -> rebuilt on demand
+    assert bc.cached_build(("t", 0), make(0)) == 0
+    assert len(calls) == n + 1

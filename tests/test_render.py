@@ -281,3 +281,31 @@ def test_render_outputs_query_matches_oracle(sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_export_resume_skips_existing(sf_dir, tmp_path):
+    """resume=True re-renders only missing/torn artifacts (mtimes of
+    completed files are untouched on the resumed run)."""
+    import os
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).limit(6)
+    out = str(tmp_path / "resume")
+    export_all_outputs(docs, out, num_partitions=2).take_all()
+
+    victim = os.path.join(out, "part=1", "doc_1.pdf")
+    os.remove(victim)
+    survivor = os.path.join(out, "part=0", "doc_0.pdf")
+    before = os.path.getmtime(survivor)
+
+    m = export_all_outputs(docs, out, num_partitions=2, resume=True).take_all()
+    assert len(m) == 6
+    assert os.path.getsize(victim) > 0           # re-rendered
+    assert os.path.getmtime(survivor) == before  # untouched
+    # manifest sizes match disk for both skipped and re-rendered docs
+    for r in m:
+        for ext in ("pdf", "docx", "pptx"):
+            p = os.path.join(out, f"part={r['partition']}", f"doc_{r['doc_id']}.{ext}")
+            assert os.path.getsize(p) == r[f"{ext}_bytes"]
