@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--export-outputs", default=None, metavar="DIR",
                     help="render per-doc PDF/DOCX/PPTX into DIR "
                          "(the export_all_outputs sink)")
+    ap.add_argument("--compact", default=None, metavar="IN_DIR",
+                    help="compact a fragmented parquet dir into "
+                         "--output (small-file merge, streaming)")
     args = ap.parse_args(argv)
 
     if args.list_queries:
@@ -78,6 +81,17 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=args.num_partitions,
         output_dir=args.output,
     )
+
+    if args.compact:
+        from .sources.compact import compact_parquet
+
+        if not args.output:
+            print("--compact requires --output", file=sys.stderr)
+            return 2
+        stats = compact_parquet(args.compact, args.output)
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
 
     if args.export_outputs:
         import ray.data

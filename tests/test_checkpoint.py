@@ -114,3 +114,35 @@ def test_meta_pins_partition_layout(sf_dir, ckpt_dir):
                 output_dir=ckpt_dir, num_partitions=16, combine_order="lex"
             ),
         )
+
+
+def test_compact_parquet_roundtrip(sf_dir, tmp_path):
+    """Fragmented parquet dir -> few right-sized files, identical row
+    multiset, and a refusal on a dirty output dir."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from pdf_to_text_ray.sources.compact import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    # 32 tiny files
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").repartition(
+        32
+    ).write_parquet(frag)
+    import os
+
+    assert len(os.listdir(frag)) >= 32
+
+    out = str(tmp_path / "compact")
+    stats = compact_parquet(frag, out, target_bytes=1 << 30)
+    assert stats["output_files"] < stats["input_files"]
+    assert stats["rows"] == 500
+
+    a = pq.read_table(frag).sort_by("doc_id")
+    b = pq.read_table(out).sort_by("doc_id")
+    assert a.select(sorted(a.column_names)).equals(
+        b.select(sorted(b.column_names))
+    )
+    with pytest.raises(ValueError):
+        compact_parquet(frag, out)
