@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{tag}")
         return 0
 
+    if args.compact and not args.output:
+        print("--compact requires --output", file=sys.stderr)
+        return 2
+
     import os
 
     import ray
@@ -65,30 +69,14 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["num_cpus"] = args.num_cpus
         ray.init(address=address, **kwargs)
 
-    from dataclasses import replace
-
-    from .config import DEFAULT_CONFIG
-    from .pipelines.extract import (
-        run_extraction,
-        stale_droplist,
-        synthesize_docs,
-        synthesize_keys,
-    )
-
-    cfg = replace(
-        DEFAULT_CONFIG,
-        dedup_mode=args.dedup_mode,
-        num_partitions=args.num_partitions,
-        output_dir=args.output,
-    )
-
     if args.compact:
         from .sources.compact import compact_parquet
 
-        if not args.output:
-            print("--compact requires --output", file=sys.stderr)
+        try:
+            stats = compact_parquet(args.compact, args.output)
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
             return 2
-        stats = compact_parquet(args.compact, args.output)
         print(json.dumps(stats))
         ray.shutdown()
         return 0
@@ -142,6 +130,25 @@ def main(argv: list[str] | None = None) -> int:
         ))
         ray.shutdown()
         return 0
+
+    # extraction paths only — the utility branches above never pay for
+    # the pipeline import chain or a config they don't use
+    from dataclasses import replace
+
+    from .config import DEFAULT_CONFIG
+    from .pipelines.extract import (
+        run_extraction,
+        stale_droplist,
+        synthesize_docs,
+        synthesize_keys,
+    )
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        dedup_mode=args.dedup_mode,
+        num_partitions=args.num_partitions,
+        output_dir=args.output,
+    )
 
     if args.output:
         from .state.checkpoint import completed_partitions, run_checkpointed

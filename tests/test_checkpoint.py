@@ -133,13 +133,23 @@ def test_compact_parquet_roundtrip(sf_dir, tmp_path):
     import os
 
     assert len(os.listdir(frag)) >= 32
+    # checkpoint dirs hold json sidecars — they must not reach the
+    # parquet reader (regression: read_parquet(dir) parsed them)
+    with open(os.path.join(frag, "meta.json"), "w") as f:
+        f.write("{}")
 
     out = str(tmp_path / "compact")
     stats = compact_parquet(frag, out, target_bytes=1 << 30)
     assert stats["output_files"] < stats["input_files"]
     assert stats["rows"] == 500
 
-    a = pq.read_table(frag).sort_by("doc_id")
+    import glob
+
+    import pyarrow as pa
+
+    a = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(f"{frag}/*.parquet"))
+    ).sort_by("doc_id")
     b = pq.read_table(out).sort_by("doc_id")
     assert a.select(sorted(a.column_names)).equals(
         b.select(sorted(b.column_names))
