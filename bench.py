@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "join_orders_segment",
     "join_orders_segment_bcast",   # strategy gap vs the shuffle join
     "route_counts",
+    "domain_stats",
     "dup_clusters",
     "ngram_jaccard",
     "markdown_structure",

@@ -101,6 +101,47 @@ WITH base AS (
 SQL_EXTRACT_E2E = _E2E_BASE + "SELECT * FROM expected"
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain curation stats over the extraction output: host
+    parsed from the url (vectorized Arrow regex), then counts /
+    char totals / parse failures per site — the per-source view a
+    corpus-curation pass gates on. Map-side host extraction + one
+    small groupby (hosts ≪ docs)."""
+    ds = run_extraction(sf_dir)
+
+    def with_host(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t["url"], r"https://(?P<host>[^/]+)/")
+        return pa.table(
+            {
+                "host": pc.struct_field(host, "host"),
+                "n_chars": t["n_chars"],
+                "failed": pc.cast(
+                    pc.equal(t["parse_ok"], pa.scalar(False)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(with_host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Sum("failed", alias_name="n_failed_docs"),
+        )
+    )
+
+
+SQL_DOMAIN_STATS = _E2E_BASE + """
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_failed_docs
+FROM expected GROUP BY 1
+"""
+
+
 def q_extraction_metrics(sf_dir: str):
     """Grouped extraction metrics (the engine's A7 counters analogue)."""
     ds = run_extraction(sf_dir)
@@ -2074,6 +2115,7 @@ WHERE list_cosine_similarity(ea.e, eb.e) >= 0.1
 QUERIES = {
     "extract_e2e": q_extract_e2e,
     "extraction_metrics": q_extraction_metrics,
+    "domain_stats": q_domain_stats,
     "sniff_doc_types": q_sniff_doc_types,
     "route_counts": q_route_counts,
     "normalize_text": q_normalize_text,
@@ -2128,6 +2170,7 @@ QUERIES = {
 ORACLE_SQL = {
     "extract_e2e": SQL_EXTRACT_E2E,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
+    "domain_stats": SQL_DOMAIN_STATS,
     "sniff_doc_types": SQL_SNIFF_DOC_TYPES,
     "route_counts": SQL_ROUTE_COUNTS,
     "normalize_text": SQL_NORMALIZE_TEXT,
