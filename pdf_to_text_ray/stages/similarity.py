@@ -277,6 +277,9 @@ def _bucket_tag_task(
     return b(batch)
 
 
+_PAIR_CHUNK_ROWS = 2048
+
+
 def _pairs_within_bucket(threshold: float):
     def fn(group: pa.Table) -> pa.Table:
         m = _batch_matrix(group)
@@ -284,16 +287,29 @@ def _pairs_within_bucket(threshold: float):
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         m = m / norms
-        sims = m @ m.T
-        # vec_a < vec_b and above threshold, in one 2-D mask
-        mask = (sims >= threshold) & (ids[None, :] > ids[:, None])
-        ii, jj = np.nonzero(mask)
+        # chunked matmul: a hot bucket of B rows costs O(chunk*B)
+        # memory per step instead of a full B*B sims matrix (compute
+        # is the same; only the peak allocation is bounded)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for lo in range(0, len(ids), _PAIR_CHUNK_ROWS):
+            hi = min(lo + _PAIR_CHUNK_ROWS, len(ids))
+            sims = m[lo:hi] @ m.T  # [chunk, B]
+            mask = (sims >= threshold) & (ids[None, :] > ids[lo:hi, None])
+            ii, jj = np.nonzero(mask)
+            out_a.append(ids[lo + ii])
+            out_b.append(ids[jj])
+            out_s.append(sims[ii, jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        s = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
         return pa.table(
             {
-                "vec_a": pa.array(ids[ii], pa.int64()),
-                "vec_b": pa.array(ids[jj], pa.int64()),
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
                 "sim": pa.array(
-                    [round(float(x), 6) for x in sims[ii, jj]], pa.float64()
+                    [round(float(x), 6) for x in s], pa.float64()
                 ),
             }
         )
