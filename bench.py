@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "training_corpus",
     "text_windows",
     "train_val_split",
+    "stratified_sample",
     "pii_redact",
     "repetition_stats",
     "doclen_quantiles",

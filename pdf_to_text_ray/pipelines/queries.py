@@ -1662,6 +1662,34 @@ FROM h
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Corpus balancing: keep 50%% of the dominant language (en), 100%%
+    of the tail, by a deterministic per-doc hash draw — reruns and
+    resumes keep the identical sample (never random)."""
+    from ..stages.corpus import stratified_sample_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(stratified_sample_batch, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+    sum(CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                           k + 1, 1)) - 1 AS BIGINT)
+        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
+               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
+               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
+  FROM documents, generate_series(0, 7) AS g(k)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang FROM h
+WHERE hv % 100 < CASE lang WHEN 'en' THEN 50 ELSE 100 END
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (emails / IPv4s / phone numbers -> typed
     placeholders) with per-doc match counts. The synthetic corpus has
@@ -2156,6 +2184,7 @@ QUERIES = {
     "chart_parse": q_chart_parse,
     "render_outputs": q_render_outputs,
     "train_val_split": q_train_val_split,
+    "stratified_sample": q_stratified_sample,
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
     "text_windows": q_text_windows,
@@ -2211,6 +2240,7 @@ ORACLE_SQL = {
     "chart_parse": SQL_CHART_PARSE,
     "render_outputs": SQL_RENDER_OUTPUTS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_redact": SQL_PII_REDACT,
     "repetition_stats": SQL_REPETITION_STATS,
     "text_windows": SQL_TEXT_WINDOWS,

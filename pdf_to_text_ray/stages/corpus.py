@@ -126,3 +126,33 @@ def repetition_batch(batch: pa.Table, max_dup_frac: float = 0.9,
             "keep": pa.array(keeps, pa.bool_()),
         }
     )
+
+
+# ------------------------------------------------- stratified sampling
+
+# pct of each stratum kept (default 100): the corpus-balancing op —
+# e.g. downsample the dominant language while keeping the tail whole.
+DEFAULT_SAMPLE_RATES = {"en": 50}
+
+
+def sample_hash(doc_id: int) -> int:
+    """Deterministic 0..99 draw per doc, independent of split_of's
+    stream (different salt)."""
+    return int(
+        hashlib.md5(f"{doc_id}:sample".encode()).hexdigest()[:8], 16
+    ) % 100
+
+
+def stratified_sample_batch(
+    batch: pa.Table, rates: dict[str, int] | None = None
+) -> pa.Table:
+    """Keep each row iff its deterministic draw < its stratum's rate.
+    Never random: reruns and resumes keep the identical sample."""
+    if rates is None:
+        rates = DEFAULT_SAMPLE_RATES
+    ids = batch["doc_id"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    keep = [
+        sample_hash(i) < rates.get(lang, 100) for i, lang in zip(ids, langs)
+    ]
+    return batch.filter(pa.array(keep, pa.bool_()))

@@ -95,3 +95,31 @@ def test_repetition_gates():
     assert rows[1]["keep"] is False  # bigram gate trips
     assert rows[2]["dup_word_frac"] == 0.0
     assert rows[2]["keep"] is True
+
+
+def test_stratified_sample_rates_and_determinism(sf_dir):
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_ray.pipelines.queries import QUERIES
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pylist()
+    by_lang_total = {}
+    for r in docs:
+        by_lang_total[r["lang"]] = by_lang_total.get(r["lang"], 0) + 1
+
+    a = sorted(r["doc_id"] for r in QUERIES["stratified_sample"](sf_dir).take_all())
+    b = sorted(r["doc_id"] for r in QUERIES["stratified_sample"](sf_dir).take_all())
+    assert a == b  # deterministic
+
+    kept = {r["doc_id"]: r["lang"] for r in QUERIES["stratified_sample"](sf_dir).take_all()}
+    by_lang_kept = {}
+    for lang in kept.values():
+        by_lang_kept[lang] = by_lang_kept.get(lang, 0) + 1
+    # non-en strata are kept whole; en is roughly halved
+    for lang, n in by_lang_total.items():
+        if lang == "en":
+            assert 0.3 * n < by_lang_kept[lang] < 0.7 * n
+        else:
+            assert by_lang_kept[lang] == n
