@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "extract_e2e",          # flagship: synth -> sniff -> extract -> OCR -> dedup -> combine
     "extraction_metrics",
     "dedup_exact",
+    "line_dedup",
     "minhash_near_dups",
     "simhash_near_dups",
     "token_stats",

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..config import DEFAULT_CONFIG
 from ..functions import scalar
@@ -1662,6 +1662,79 @@ FROM h
 """
 
 
+def q_line_dedup(sf_dir: str):
+    """Sub-document (line-level) exact dedup, CCNet/RefinedWeb-style:
+    documents explode to 10-word lines, lines dedup globally by md5
+    with keep-first (min doc_id, then min line_no) — removes boilerplate
+    repeated ACROSS documents, which whole-doc dedup can't see.
+    Map-side explode+hash, one groupby(hash) exchange of skinny rows."""
+    from ..functions.hashing import md5_hex
+    from ..stages.markdown import text_lines
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys, hashes = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for lno, line in enumerate(text_lines(text)):
+                # packed sort key: lexicographic (doc_id, line_no) ==
+                # numeric min of doc_id<<32 | line_no, so keep-first is
+                # ONE vectorized Min aggregate instead of a pandas
+                # group per line hash (line hashes are mostly unique —
+                # per-group Python would crawl at corpus scale)
+                keys.append((did << 32) | lno)
+                hashes.append(md5_hex(line))
+        return pa.table(
+            {
+                "line_hash": pa.array(hashes, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+            }
+        )
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t["first_key"]
+        return pa.table(
+            {
+                "line_hash": t["line_hash"],
+                "doc_id": pc.shift_right(key, 32),
+                "line_no": pc.bit_wise_and(key, pa.scalar((1 << 32) - 1)),
+                "n_copies": t["n_copies"],
+            }
+        )
+
+    return (
+        _read_documents(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("line_hash")
+        .aggregate(
+            Min("key", alias_name="first_key"),
+            Count(alias_name="n_copies"),
+        )
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\\S+')) AS word,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+  FROM documents
+), lines AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS line_no,
+         string_agg(word, ' ' ORDER BY ord) AS line
+  FROM words GROUP BY doc_id, (ord - 1) // 10
+), hashed AS (
+  SELECT md5(line) AS line_hash, doc_id, line_no FROM lines
+)
+SELECT line_hash, doc_id, line_no, n_copies FROM (
+  SELECT line_hash, doc_id, line_no,
+    row_number() OVER (PARTITION BY line_hash
+                       ORDER BY doc_id, line_no) AS rn,
+    CAST(count(*) OVER (PARTITION BY line_hash) AS BIGINT) AS n_copies
+  FROM hashed
+) WHERE rn = 1
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Corpus balancing: keep 50%% of the dominant language (en), 100%%
     of the tail, by a deterministic per-doc hash draw — reruns and
@@ -2185,6 +2258,7 @@ QUERIES = {
     "render_outputs": q_render_outputs,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
+    "line_dedup": q_line_dedup,
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
     "text_windows": q_text_windows,
@@ -2241,6 +2315,7 @@ ORACLE_SQL = {
     "render_outputs": SQL_RENDER_OUTPUTS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "line_dedup": SQL_LINE_DEDUP,
     "pii_redact": SQL_PII_REDACT,
     "repetition_stats": SQL_REPETITION_STATS,
     "text_windows": SQL_TEXT_WINDOWS,
