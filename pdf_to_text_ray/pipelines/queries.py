@@ -41,9 +41,9 @@ _US = "\x1f"
 
 def _read_documents(sf_dir: str) -> ray.data.Dataset:
     """Pruned read for the text-op queries: only (doc_id, text) leave
-    storage (no query in this module reads the stored lang column —
-    lang_id PREDICTS language from text; the extraction path reads its
-    own columns via pipelines.extract.read_documents)."""
+    storage. lang_id PREDICTS language from text; queries that DO need
+    the stored lang column (stratified_sample) or other columns (the
+    extraction path) issue their own pruned read_parquet."""
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -113,7 +113,10 @@ def q_domain_stats(sf_dir: str):
         host = pc.extract_regex(t["url"], r"https://(?P<host>[^/]+)/")
         return pa.table(
             {
-                "host": pc.struct_field(host, "host"),
+                # non-matching urls -> '' like DuckDB regexp_extract
+                # (a null here would fork its own group AND make Sum
+                # skip those rows' failure counts)
+                "host": pc.fill_null(pc.struct_field(host, "host"), ""),
                 "n_chars": t["n_chars"],
                 "failed": pc.cast(
                     pc.equal(t["parse_ok"], pa.scalar(False)), pa.int64()
@@ -1671,21 +1674,31 @@ def q_line_dedup(sf_dir: str):
     from ..functions.hashing import md5_hex
     from ..stages.markdown import text_lines
 
+    # packed sort key: lexicographic (doc_id, line_no) == numeric min
+    # of doc_id*2^24 + line_no, so keep-first is ONE vectorized Min
+    # aggregate instead of a pandas group per line hash (line hashes
+    # are mostly unique — per-group Python would crawl at corpus
+    # scale). uint64 with a 24-bit line field covers doc_id < 2^40
+    # (~10^12 docs, the north-star corpus) and 16.7M lines/doc;
+    # violations raise instead of silently corrupting the key.
+    _LINE_BITS = 24
+
     def explode(t: pa.Table) -> pa.Table:
         keys, hashes = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did >= 1 << (64 - _LINE_BITS):
+                raise ValueError(f"doc_id {did} overflows the packed key")
             for lno, line in enumerate(text_lines(text)):
-                # packed sort key: lexicographic (doc_id, line_no) ==
-                # numeric min of doc_id<<32 | line_no, so keep-first is
-                # ONE vectorized Min aggregate instead of a pandas
-                # group per line hash (line hashes are mostly unique —
-                # per-group Python would crawl at corpus scale)
-                keys.append((did << 32) | lno)
+                if lno >= 1 << _LINE_BITS:
+                    raise ValueError(
+                        f"doc {did}: line_no {lno} overflows the packed key"
+                    )
+                keys.append((did << _LINE_BITS) | lno)
                 hashes.append(md5_hex(line))
         return pa.table(
             {
                 "line_hash": pa.array(hashes, pa.string()),
-                "key": pa.array(keys, pa.int64()),
+                "key": pa.array(keys, pa.uint64()),
             }
         )
 
@@ -1694,8 +1707,11 @@ def q_line_dedup(sf_dir: str):
         return pa.table(
             {
                 "line_hash": t["line_hash"],
-                "doc_id": pc.shift_right(key, 32),
-                "line_no": pc.bit_wise_and(key, pa.scalar((1 << 32) - 1)),
+                "doc_id": pc.cast(pc.shift_right(key, _LINE_BITS), pa.int64()),
+                "line_no": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar((1 << _LINE_BITS) - 1, pa.uint64())),
+                    pa.int64(),
+                ),
                 "n_copies": t["n_copies"],
             }
         )
@@ -1736,7 +1752,7 @@ SELECT line_hash, doc_id, line_no, n_copies FROM (
 
 
 def q_stratified_sample(sf_dir: str):
-    """Corpus balancing: keep 50%% of the dominant language (en), 100%%
+    """Corpus balancing: keep 50% of the dominant language (en), 100%
     of the tail, by a deterministic per-doc hash draw — reruns and
     resumes keep the identical sample (never random)."""
     from ..stages.corpus import stratified_sample_batch

@@ -109,11 +109,13 @@ def test_stratified_sample_rates_and_determinism(sf_dir):
     for r in docs:
         by_lang_total[r["lang"]] = by_lang_total.get(r["lang"], 0) + 1
 
-    a = sorted(r["doc_id"] for r in QUERIES["stratified_sample"](sf_dir).take_all())
-    b = sorted(r["doc_id"] for r in QUERIES["stratified_sample"](sf_dir).take_all())
+    rows_a = QUERIES["stratified_sample"](sf_dir).take_all()
+    rows_b = QUERIES["stratified_sample"](sf_dir).take_all()
+    a = sorted(r["doc_id"] for r in rows_a)
+    b = sorted(r["doc_id"] for r in rows_b)
     assert a == b  # deterministic
 
-    kept = {r["doc_id"]: r["lang"] for r in QUERIES["stratified_sample"](sf_dir).take_all()}
+    kept = {r["doc_id"]: r["lang"] for r in rows_a}
     by_lang_kept = {}
     for lang in kept.values():
         by_lang_kept[lang] = by_lang_kept.get(lang, 0) + 1
