@@ -35,6 +35,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # (which forces full execution of the lazy pipeline).
 BENCH_QUERIES = [
     "extract_e2e",          # flagship: synth -> sniff -> extract -> OCR -> dedup -> combine
+    # Dataset.join queries run EARLY: each join spawns a fresh
+    # generation of shuffle ACTORS, and actor startup degrades with
+    # the session's accumulated worker table (measured: 2.7-4.7 s in
+    # a fresh session vs 34 s as query #20 of a 44-query run). Early
+    # placement measures the operator, not Ray's session-age bloat.
+    "join_orders_segment",
+    "join_orders_segment_bcast",   # strategy gap vs the shuffle join
     "extraction_metrics",
     "dedup_exact",
     "line_dedup",
@@ -52,8 +59,6 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_asof_orders",
-    "join_orders_segment",
-    "join_orders_segment_bcast",   # strategy gap vs the shuffle join
     "route_counts",
     "domain_stats",
     "dup_clusters",
