@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     # placement measures the operator, not Ray's session-age bloat.
     "join_orders_segment",
     "join_orders_segment_bcast",   # strategy gap vs the shuffle join
+    "revenue_by_region",
     "extraction_metrics",
     "dedup_exact",
     "line_dedup",

@@ -1144,6 +1144,87 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_revenue_by_region(sf_dir: str):
+    """Multi-way join with MIXED strategies (the TPC-H Q5 shape):
+    customer⋈nation⋈region collapses into one broadcast custkey→region
+    lookup (dimension chain, tiny), applied map-side to orders — the
+    only large table never shuffles. Revenue in integer cents."""
+    import numpy as np
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    r2n = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    custkeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    order_idx = np.argsort(custkeys, kind="stable")
+    sorted_keys = custkeys[order_idx]
+    names = [
+        r2n[n2r[n]] for n in cust["c_nationkey"].to_pylist()
+    ]
+    sorted_names = [names[i] for i in order_idx]
+    lookup_ref = ray.put((sorted_keys, sorted_names))
+
+    def to_region(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys, rnames = cached_get(lookup_ref)
+        ck = t["o_custkey"].to_numpy()
+        pos = _np.searchsorted(keys, ck)
+        pos_c = _np.minimum(pos, len(keys) - 1)
+        found = keys[pos_c] == ck
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        ).to_numpy()
+        sub = _np.nonzero(found)[0]
+        return pa.table(
+            {
+                "r_name": pa.array(
+                    [rnames[pos_c[i]] for i in sub], pa.string()
+                ),
+                "price_cents": pa.array(cents[sub], pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        orders.map_batches(to_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+SQL_REVENUE_BY_REGION = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def q_join_orders_segment_bcast(sf_dir: str):
     """Same join, broadcast strategy: customer is the small side, so
     ship it once via ray.put and merge per batch — no shuffle. Same
@@ -2258,6 +2339,7 @@ QUERIES = {
     "top_words": q_top_words,
     "join_orders_segment": q_join_orders_segment,
     "join_orders_segment_bcast": q_join_orders_segment_bcast,
+    "revenue_by_region": q_revenue_by_region,
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
     "dup_clusters": q_dup_clusters,
@@ -2317,6 +2399,7 @@ ORACLE_SQL = {
     "top_words": SQL_TOP_WORDS,
     "join_orders_segment": SQL_JOIN_ORDERS_SEGMENT,
     "join_orders_segment_bcast": SQL_JOIN_ORDERS_SEGMENT,
+    "revenue_by_region": SQL_REVENUE_BY_REGION,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "chunk_pages": SQL_CHUNK_PAGES,
