@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "join_orders_segment",
     "join_orders_segment_bcast",   # strategy gap vs the shuffle join
     "revenue_by_region",
+    "pricing_summary",
     "extraction_metrics",
     "dedup_exact",
     "line_dedup",

@@ -1212,6 +1212,152 @@ def q_revenue_by_region(sf_dir: str):
     )
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 over lineitem (the largest table): shipped-before
+    filter -> per-(returnflag, linestatus) pricing sums — the
+    canonical scan-heavy aggregate. Map-side COMBINER (one pyarrow
+    C++ group-by per batch) reduces each block to ≤ a few rows before
+    the tiny global groupby; money stays in exact integer units
+    (cents; disc = cents×(100−d%); charge = that ×(100+t%)) so
+    parallel summation is order-independent, and the avg columns are
+    derived from the exact sums by one int/int IEEE division each
+    (identical to the SQL). Unit magnitudes fit int64 through ~10^10
+    rows; beyond that switch the charge column to decimal128."""
+    cutoff_us = 904_694_400_000_000  # 1998-09-02 00:00:00 UTC in µs
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            pc.cast(t["l_shipdate"], pa.int64()), pa.scalar(cutoff_us)
+        )
+        t = t.filter(keep)
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        dpct = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        tpct = pc.cast(
+            pc.round(pc.multiply(t["l_tax"], pa.scalar(100.0))), pa.int64()
+        )
+        disc_units = pc.multiply(cents, pc.subtract(pa.scalar(100), dpct))
+        charge_units = pc.multiply(
+            disc_units, pc.add(pa.scalar(100), tpct)
+        )
+        flat = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "cents": cents,
+                "dpct": dpct,
+                "disc_units": disc_units,
+                "charge_units": charge_units,
+            }
+        )
+        g = pa.TableGroupBy(
+            flat, ["l_returnflag", "l_linestatus"]
+        ).aggregate(
+            [
+                ("qty", "sum"),
+                ("cents", "sum"),
+                ("dpct", "sum"),
+                ("disc_units", "sum"),
+                ("charge_units", "sum"),
+                ("qty", "count"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_cents",
+                "sum_dpct",
+                "sum_disc_units",
+                "sum_charge_units",
+                "n",
+            ]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"]
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"],
+                "sum_base_cents": t["sum_base_cents"],
+                "sum_disc_units": t["sum_disc_units"],
+                "sum_charge_units": t["sum_charge_units"],
+                "avg_qty": pc.divide(
+                    pc.cast(t["sum_qty"], pa.float64()),
+                    pc.cast(n, pa.float64()),
+                ),
+                "avg_price_cents": pc.divide(
+                    pc.cast(t["sum_base_cents"], pa.float64()),
+                    pc.cast(n, pa.float64()),
+                ),
+                "avg_disc_pct": pc.divide(
+                    pc.cast(t["sum_dpct"], pa.float64()),
+                    pc.cast(n, pa.float64()),
+                ),
+                "count_order": t["n"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_dpct", alias_name="sum_dpct"),
+            Sum("sum_disc_units", alias_name="sum_disc_units"),
+            Sum("sum_charge_units", alias_name="sum_charge_units"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+    AS sum_disc_units,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+    AS sum_charge_units,
+  sum(CAST(round(l_quantity) AS BIGINT)) / count(*) AS avg_qty,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*)
+    AS avg_price_cents,
+  sum(CAST(round(l_discount * 100) AS BIGINT)) / count(*) AS avg_disc_pct,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 SQL_REVENUE_BY_REGION = """
 SELECT r.r_name,
        CAST(count(*) AS BIGINT) AS n_orders,
@@ -2340,6 +2486,7 @@ QUERIES = {
     "join_orders_segment": q_join_orders_segment,
     "join_orders_segment_bcast": q_join_orders_segment_bcast,
     "revenue_by_region": q_revenue_by_region,
+    "pricing_summary": q_pricing_summary,
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
     "dup_clusters": q_dup_clusters,
@@ -2400,6 +2547,7 @@ ORACLE_SQL = {
     "join_orders_segment": SQL_JOIN_ORDERS_SEGMENT,
     "join_orders_segment_bcast": SQL_JOIN_ORDERS_SEGMENT,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
+    "pricing_summary": SQL_PRICING_SUMMARY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "chunk_pages": SQL_CHUNK_PAGES,
