@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "join_orders_segment_bcast",   # strategy gap vs the shuffle join
     "revenue_by_region",
     "pricing_summary",
+    "parts_no_early_shipment",
     "extraction_metrics",
     "dedup_exact",
     "line_dedup",

@@ -1335,6 +1335,77 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_parts_no_early_shipment(sf_dir: str):
+    """ANTI-join: parts with no lineitem shipped before 1996 — the
+    missing-relational-op shape (NOT EXISTS). The matched-key set is
+    bounded by |part| regardless of |lineitem|, so it reduces
+    map-side (per-batch filter + unique) into a tiny distinct set,
+    broadcasts sorted, and the part table filters against it —
+    lineitem, the large side, never shuffles."""
+    import numpy as np
+
+    shipped = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_shipdate"]
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": pc.unique(
+                        t.filter(
+                            pc.less(
+                                pc.cast(t["l_shipdate"], pa.int64()),
+                                pa.scalar(820_454_400_000_000),  # 1996-01-01 µs
+                            )
+                        )["l_partkey"]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    matched = np.sort(
+        np.concatenate(
+            [t["l_partkey"].to_numpy() for t in ray.get(shipped.to_arrow_refs())]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    matched_ref = ray.put(matched)
+
+    def anti(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys = cached_get(matched_ref)
+        pk = t["p_partkey"].to_numpy()
+        if len(keys) == 0:
+            keep = _np.ones(len(pk), dtype=bool)
+        else:
+            pos = _np.minimum(_np.searchsorted(keys, pk), len(keys) - 1)
+            keep = keys[pos] != pk
+        sub = t.filter(pa.array(keep, pa.bool_()))
+        return sub.select(["p_partkey", "p_name", "p_brand"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
+SQL_PARTS_NO_EARLY_SHIPMENT = """
+SELECT p.p_partkey, p.p_name, p.p_brand
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate < TIMESTAMP '1996-01-01'
+)
+"""
+
+
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -2487,6 +2558,7 @@ QUERIES = {
     "join_orders_segment_bcast": q_join_orders_segment_bcast,
     "revenue_by_region": q_revenue_by_region,
     "pricing_summary": q_pricing_summary,
+    "parts_no_early_shipment": q_parts_no_early_shipment,
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
     "dup_clusters": q_dup_clusters,
@@ -2548,6 +2620,7 @@ ORACLE_SQL = {
     "join_orders_segment_bcast": SQL_JOIN_ORDERS_SEGMENT,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "parts_no_early_shipment": SQL_PARTS_NO_EARLY_SHIPMENT,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "chunk_pages": SQL_CHUNK_PAGES,
