@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "revenue_by_region",
     "pricing_summary",
     "parts_no_early_shipment",
+    "supplier_revenue",
     "extraction_metrics",
     "dedup_exact",
     "line_dedup",

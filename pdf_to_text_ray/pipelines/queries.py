@@ -1395,6 +1395,73 @@ def q_parts_no_early_shipment(sf_dir: str):
     ).map_batches(anti, batch_format="pyarrow")
 
 
+def q_supplier_revenue(sf_dir: str):
+    """Discounted revenue per supplier: the 10-row supplier table
+    broadcasts as a sorted lookup over lineitem (map-side enrich, no
+    shuffle of the big side), then a tiny groupby. Exact integer
+    units: cents×(100−disc%)."""
+    import numpy as np
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    keys = np.asarray(sup["s_suppkey"].to_pylist(), dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    lookup_ref = ray.put(
+        (keys[order], [sup["s_name"].to_pylist()[i] for i in order])
+    )
+
+    def enrich(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        skeys, snames = cached_get(lookup_ref)
+        sk = t["l_suppkey"].to_numpy()
+        pos = _np.minimum(_np.searchsorted(skeys, sk), len(skeys) - 1)
+        found = skeys[pos] == sk
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        dpct = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        units = pc.multiply(cents, pc.subtract(pa.scalar(100), dpct)).to_numpy()
+        sub = _np.nonzero(found)[0]
+        return pa.table(
+            {
+                "s_name": pa.array([snames[pos[i]] for i in sub], pa.string()),
+                "disc_units": pa.array(units[sub], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(enrich, batch_format="pyarrow", batch_size=None)
+        .groupby("s_name")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("disc_units", alias_name="revenue_units"),
+        )
+    )
+
+
+SQL_SUPPLIER_REVENUE = """
+SELECT s.s_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_units
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+"""
+
+
 SQL_PARTS_NO_EARLY_SHIPMENT = """
 SELECT p.p_partkey, p.p_name, p.p_brand
 FROM part p
@@ -2559,6 +2626,7 @@ QUERIES = {
     "revenue_by_region": q_revenue_by_region,
     "pricing_summary": q_pricing_summary,
     "parts_no_early_shipment": q_parts_no_early_shipment,
+    "supplier_revenue": q_supplier_revenue,
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
     "dup_clusters": q_dup_clusters,
@@ -2621,6 +2689,7 @@ ORACLE_SQL = {
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "parts_no_early_shipment": SQL_PARTS_NO_EARLY_SHIPMENT,
+    "supplier_revenue": SQL_SUPPLIER_REVENUE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "chunk_pages": SQL_CHUNK_PAGES,
