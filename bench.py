@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_asof_orders",
+    "funnel_conversion",
+    "event_props",
     "route_counts",
     "domain_stats",
     "dup_clusters",

@@ -1999,6 +1999,109 @@ LATERAL (VALUES
 """
 
 
+def q_funnel_conversion(sf_dir: str):
+    """Signup -> purchase funnel per user (ordered-sequence analytics):
+    for every user who signed up, the first signup time and the first
+    purchase AT OR AFTER it. Needs per-key event order, so it rides the
+    same ``groupby(user_id).map_groups`` shape as sessionization;
+    timestamps emitted as µs ints (exact cross-engine compare)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def per_user(df):
+        import pandas as pd
+
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        signup = ts_us[df["event_type"] == "signup"]
+        if signup.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], "int64"),
+                    "signup_ts_us": pd.array([], "int64"),
+                    "purchase_ts_us": pd.array([], "Int64"),
+                    "converted": pd.array([], "boolean"),
+                }
+            )
+        s0 = int(signup.min())
+        purch = ts_us[(df["event_type"] == "purchase") & (ts_us >= s0)]
+        p0 = int(purch.min()) if not purch.empty else None
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([int(df["user_id"].iloc[0])], "int64"),
+                "signup_ts_us": pd.array([s0], "int64"),
+                "purchase_ts_us": pd.array([p0], "Int64"),
+                "converted": pd.array([p0 is not None], "boolean"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH s AS (
+  SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS signup_ts_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT s.user_id, CAST(epoch_us(min(e.ts)) AS BIGINT) AS purchase_ts_us
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND CAST(epoch_us(e.ts) AS BIGINT) >= s.signup_ts_us
+  GROUP BY s.user_id
+)
+SELECT s.user_id, s.signup_ts_us, p.purchase_ts_us,
+       p.purchase_ts_us IS NOT NULL AS converted
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+"""
+
+
+def q_event_props(sf_dir: str):
+    """Semi-structured extraction: parse the props JSON column
+    (json.loads per event — a real parse, not a regex) and aggregate
+    per event_type with map-side combining; money in integer cents."""
+    import json as _json
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pa.array(
+            [int(_json.loads(p)["k"]) for p in t["props"].to_pylist()],
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        flat = pa.table(
+            {"event_type": t["event_type"], "k": ks, "cents": cents}
+        )
+        g = pa.TableGroupBy(flat, "event_type").aggregate(
+            [("k", "sum"), ("cents", "sum"), ("k", "count")]
+        )
+        return g.rename_columns(["event_type", "sum_k", "sum_value_cents", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("n", alias_name="n_events"),
+        )
+    )
+
+
+SQL_EVENT_PROPS = """
+SELECT event_type,
+  CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # ----------------------------------------------- corpus-prep additions
 
 def q_train_val_split(sf_dir: str):
@@ -2629,6 +2732,8 @@ QUERIES = {
     "supplier_revenue": q_supplier_revenue,
     "events_sessionize": q_events_sessionize,
     "events_asof_orders": q_events_asof_orders,
+    "funnel_conversion": q_funnel_conversion,
+    "event_props": q_event_props,
     "dup_clusters": q_dup_clusters,
     "chunk_pages": q_chunk_pages,
     "longest_docs": q_longest_docs,
@@ -2692,6 +2797,8 @@ ORACLE_SQL = {
     "supplier_revenue": SQL_SUPPLIER_REVENUE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "event_props": SQL_EVENT_PROPS,
     "chunk_pages": SQL_CHUNK_PAGES,
     "longest_docs": SQL_LONGEST_DOCS,
     "sentence_split": SQL_SENTENCE_SPLIT,
