@@ -1182,6 +1182,13 @@ def q_revenue_by_region(sf_dir: str):
 
         keys, rnames = cached_get(lookup_ref)
         ck = t["o_custkey"].to_numpy()
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "r_name": pa.array([], pa.string()),
+                    "price_cents": pa.array([], pa.int64()),
+                }
+            )
         pos = _np.searchsorted(keys, ck)
         pos_c = _np.minimum(pos, len(keys) - 1)
         found = keys[pos_c] == ck
@@ -1364,10 +1371,12 @@ def q_parts_no_early_shipment(sf_dir: str):
             batch_format="pyarrow",
             batch_size=None,
         )
-        .groupby("l_partkey")
-        .aggregate(Count(alias_name="n"))
     )
-    matched = np.sort(
+    # per-batch-unique blocks are already bounded by |part|; final
+    # dedup happens driver-side (np.unique sorts) — a distributed
+    # groupby here would spend a whole shuffle generation to produce
+    # the same tiny array
+    matched = np.unique(
         np.concatenate(
             [t["l_partkey"].to_numpy() for t in ray.get(shipped.to_arrow_refs())]
             or [np.empty(0, np.int64)]
@@ -1407,9 +1416,8 @@ def q_supplier_revenue(sf_dir: str):
     )
     keys = np.asarray(sup["s_suppkey"].to_pylist(), dtype=np.int64)
     order = np.argsort(keys, kind="stable")
-    lookup_ref = ray.put(
-        (keys[order], [sup["s_name"].to_pylist()[i] for i in order])
-    )
+    names = sup["s_name"].to_pylist()
+    lookup_ref = ray.put((keys[order], [names[i] for i in order]))
 
     def enrich(t: pa.Table) -> pa.Table:
         import numpy as _np
@@ -1418,6 +1426,13 @@ def q_supplier_revenue(sf_dir: str):
 
         skeys, snames = cached_get(lookup_ref)
         sk = t["l_suppkey"].to_numpy()
+        if len(skeys) == 0:
+            return pa.table(
+                {
+                    "s_name": pa.array([], pa.string()),
+                    "disc_units": pa.array([], pa.int64()),
+                }
+            )
         pos = _np.minimum(_np.searchsorted(skeys, sk), len(skeys) - 1)
         found = skeys[pos] == sk
         cents = pc.cast(
@@ -2094,7 +2109,7 @@ def q_event_props(sf_dir: str):
 
 SQL_EVENT_PROPS = """
 SELECT event_type,
-  CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+  CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT)
     AS sum_k,
   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
   CAST(count(*) AS BIGINT) AS n_events
