@@ -2022,6 +2022,17 @@ def q_funnel_conversion(sf_dir: str):
     timestamps emitted as µs ints (exact cross-engine compare)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        # only the two funnel stages reach the shuffle — the other
+        # event types (~60% of rows) are dropped map-side
+        lambda t: t.filter(
+            pc.is_in(
+                t["event_type"],
+                value_set=pa.array(["signup", "purchase"]),
+            )
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
     def per_user(df):
