@@ -185,3 +185,47 @@ def test_cli_query_and_export_paths(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(qdir).num_rows == 500
+
+
+def test_csv_and_jsonl_sources_feed_the_same_ops(sf_dir, tmp_path):
+    """Source-format flexibility: the engine's batch ops are
+    format-agnostic — documents re-encoded as CSV and JSONL, read via
+    ray.data.read_csv / read_json, produce byte-identical op output to
+    the parquet-sourced run."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_to_text_ray.stages.textstats import token_stats_batch
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    csv_dir = tmp_path / "csv"
+    jsonl_dir = tmp_path / "jsonl"
+    csv_dir.mkdir()
+    jsonl_dir.mkdir()
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(tbl, str(csv_dir / "docs.csv"))
+    with open(jsonl_dir / "docs.jsonl", "w") as f:
+        for r in tbl.to_pylist():
+            import json
+
+            f.write(json.dumps(r) + "\n")
+
+    def run(ds):
+        return sorted(
+            map(
+                repr,
+                ds.map_batches(
+                    token_stats_batch, batch_format="pyarrow"
+                ).take_all(),
+            )
+        )
+
+    want = run(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"]))
+    got_csv = run(ray.data.read_csv(str(csv_dir)))
+    got_jsonl = run(ray.data.read_json(str(jsonl_dir)))
+    assert got_csv == want
+    assert got_jsonl == want
