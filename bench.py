@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "token_stats",
     "quality",
     "lang_id",
+    "lang_confusion",
     "fingerprint",
     "ann_cosine_topk",
     "lsh_topk",

@@ -635,6 +635,53 @@ FROM s
 """
 
 
+def q_lang_confusion(sf_dir: str):
+    """Classifier QC: confusion matrix of stored vs predicted language
+    (per-(lang, pred_lang) counts). Prediction happens map-side on
+    (doc_id, text, lang); the groupby moves at most |langs|² rows per
+    block (combiner via the small key space)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def pred(t: pa.Table) -> pa.Table:
+        out = textstats.lang_id_batch(t)
+        flat = pa.table(
+            {"lang": t["lang"], "pred_lang": out["pred_lang"]}
+        )
+        g = pa.TableGroupBy(flat, ["lang", "pred_lang"]).aggregate(
+            [("pred_lang", "count")]
+        )
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    return (
+        ds.map_batches(pred, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+SQL_LANG_CONFUSION = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {_lang_count_sql('en')} AS s_en,
+    {_lang_count_sql('de')} AS s_de,
+    {_lang_count_sql('fr')} AS s_fr,
+    {_lang_count_sql('es')} AS s_es
+  FROM documents
+), p AS (
+  SELECT lang,
+    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM s
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, pred_lang
+"""
+
+
 def q_fingerprint(sf_dir: str):
     ds = _read_documents(sf_dir).map_batches(
         textstats.fingerprint_batch, batch_format="pyarrow"
@@ -2741,6 +2788,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality": q_quality,
     "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "lsh_topk": q_lsh_topk,
@@ -2801,6 +2849,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "quality": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
+    "lang_confusion": SQL_LANG_CONFUSION,
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "lsh_topk": SQL_LSH_TOPK,
