@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "quality",
     "lang_id",
     "lang_confusion",
+    "longest_doc_per_lang",
     "fingerprint",
     "ann_cosine_topk",
     "lsh_topk",

@@ -635,6 +635,64 @@ FROM s
 """
 
 
+def q_longest_doc_per_lang(sf_dir: str):
+    """Grouped argmax: the longest document per language (ties broken
+    by min doc_id) as ONE vectorized Max over a packed key —
+    n_chars·2³² + (2³²−1−doc_id) makes numeric max equal lexicographic
+    (max n_chars, then min doc_id); no per-group Python, no sort."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    inv = (1 << 32) - 1
+
+    def pack(t: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(
+                pc.cast(t["n_chars"], pa.uint64()), pa.scalar(1 << 32, pa.uint64())
+            ),
+            pc.cast(
+                pc.subtract(pa.scalar(inv), pc.cast(t["doc_id"], pa.int64())),
+                pa.uint64(),
+            ),
+        )
+        return pa.table({"lang": t["lang"], "key": key})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        key = t["max_key"]
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": pc.cast(
+                    pc.subtract(
+                        pa.scalar(inv, pa.uint64()),
+                        pc.bit_wise_and(key, pa.scalar(inv, pa.uint64())),
+                    ),
+                    pa.int64(),
+                ),
+                "n_chars": pc.cast(pc.shift_right(key, 32), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Max("key", alias_name="max_key"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
+SQL_LONGEST_DOC_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 def q_lang_confusion(sf_dir: str):
     """Classifier QC: confusion matrix of stored vs predicted language
     (per-(lang, pred_lang) counts). Prediction happens map-side on
@@ -2789,6 +2847,7 @@ QUERIES = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "lang_confusion": q_lang_confusion,
+    "longest_doc_per_lang": q_longest_doc_per_lang,
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "lsh_topk": q_lsh_topk,
@@ -2850,6 +2909,7 @@ ORACLE_SQL = {
     "quality": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
     "lang_confusion": SQL_LANG_CONFUSION,
+    "longest_doc_per_lang": SQL_LONGEST_DOC_PER_LANG,
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "lsh_topk": SQL_LSH_TOPK,
