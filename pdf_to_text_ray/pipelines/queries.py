@@ -648,13 +648,20 @@ def q_longest_doc_per_lang(sf_dir: str):
     inv = (1 << 32) - 1
 
     def pack(t: pa.Table) -> pa.Table:
-        key = pc.add(
-            pc.multiply(
-                pc.cast(t["n_chars"], pa.uint64()), pa.scalar(1 << 32, pa.uint64())
+        # checked arithmetic: an n_chars >= 2^32 (or doc_id outside
+        # [0, 2^32)) must RAISE, not silently wrap the packed key and
+        # return a wrong argmax — same guard as q_line_dedup's
+        key = pc.add_checked(
+            pc.multiply_checked(
+                pc.cast(t["n_chars"], pa.uint64(), safe=True),
+                pa.scalar(1 << 32, pa.uint64()),
             ),
-            pc.cast(
-                pc.subtract(pa.scalar(inv), pc.cast(t["doc_id"], pa.int64())),
-                pa.uint64(),
+            # uint64 cast raises on doc_id < 0; checked subtract raises
+            # (underflow) on doc_id > 2^32-1 — the low 32-bit field can
+            # never silently spill into the n_chars field
+            pc.subtract_checked(
+                pa.scalar(inv, pa.uint64()),
+                pc.cast(t["doc_id"], pa.uint64(), safe=True),
             ),
         )
         return pa.table({"lang": t["lang"], "key": key})
@@ -710,7 +717,15 @@ def q_lang_confusion(sf_dir: str):
         g = pa.TableGroupBy(flat, ["lang", "pred_lang"]).aggregate(
             [("pred_lang", "count")]
         )
-        return g.rename_columns(["lang", "pred_lang", "n"])
+        # by-name selection (not positional rename): key/agg column
+        # order is a pyarrow-version convention
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "pred_lang": g["pred_lang"],
+                "n": g["pred_lang_count"],
+            }
+        )
 
     return (
         ds.map_batches(pred, batch_format="pyarrow", batch_size=None)
@@ -1381,17 +1396,21 @@ def q_pricing_summary(sf_dir: str):
                 ("qty", "count"),
             ]
         )
-        return g.rename_columns(
-            [
-                "l_returnflag",
-                "l_linestatus",
-                "sum_qty",
-                "sum_base_cents",
-                "sum_dpct",
-                "sum_disc_units",
-                "sum_charge_units",
-                "n",
-            ]
+        # select by NAME ("{col}_{agg}" + key columns) — the key/agg
+        # column ORDER of TableGroupBy.aggregate is a pyarrow-version
+        # convention, and a positional rename would silently mislabel
+        # every aggregate if it changed
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["qty_sum"],
+                "sum_base_cents": g["cents_sum"],
+                "sum_dpct": g["dpct_sum"],
+                "sum_disc_units": g["disc_units_sum"],
+                "sum_charge_units": g["charge_units_sum"],
+                "n": g["qty_count"],
+            }
         )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2210,7 +2229,16 @@ def q_event_props(sf_dir: str):
         g = pa.TableGroupBy(flat, "event_type").aggregate(
             [("k", "sum"), ("cents", "sum"), ("k", "count")]
         )
-        return g.rename_columns(["event_type", "sum_k", "sum_value_cents", "n"])
+        # by-name selection (not positional rename): key/agg column
+        # order is a pyarrow-version convention
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sum_k": g["k_sum"],
+                "sum_value_cents": g["cents_sum"],
+                "n": g["k_count"],
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -2416,10 +2444,13 @@ WITH injected AS (
   FROM s1
 )
 SELECT doc_id,
-  regexp_replace(t, '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+  regexp_replace(t,
+    '(?:\+?1[-. ])?(?:\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b|\+1-[0-9]{3}-[0-9]{4}\b',
+    '[PHONE]', 'g') AS redacted,
   n_emails, n_ips,
-  CAST(length(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT)
-    AS n_phones
+  CAST(length(regexp_extract_all(t,
+    '(?:\+?1[-. ])?(?:\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b|\+1-[0-9]{3}-[0-9]{4}\b'))
+    AS BIGINT) AS n_phones
 FROM s2
 """
 
@@ -2828,60 +2859,17 @@ WHERE list_cosine_similarity(ea.e, eb.e) >= 0.1
 
 # ---------------------------------------------------------- registries
 
+# Registry ORDER is load-bearing: the driver correctness gate samples
+# the FIRST 50 entries, so the newest (least-proven) queries sit in the
+# checked prefix and the tail holds only long-stable entries that were
+# driver-green in round 2 (CORRECTNESS_r02.json) AND are pytest-covered.
 QUERIES = {
-    "extract_e2e": q_extract_e2e,
-    "extraction_metrics": q_extraction_metrics,
-    "domain_stats": q_domain_stats,
-    "sniff_doc_types": q_sniff_doc_types,
-    "route_counts": q_route_counts,
-    "normalize_text": q_normalize_text,
-    "clean_text": q_clean_text,
-    "ocr_whitelist": q_ocr_whitelist,
-    "combine_pages_ref": q_combine_pages_ref,
-    "combine_pages_lex": q_combine_pages_lex,
-    "dedup_exact": q_dedup_exact,
-    "minhash_near_dups": q_minhash_near_dups,
-    "simhash_near_dups": q_simhash_near_dups,
-    "ngram_jaccard": q_ngram_jaccard,
-    "token_stats": q_token_stats,
-    "quality": q_quality,
-    "lang_id": q_lang_id,
-    "lang_confusion": q_lang_confusion,
-    "longest_doc_per_lang": q_longest_doc_per_lang,
-    "fingerprint": q_fingerprint,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "lsh_topk": q_lsh_topk,
-    "events_hourly": q_events_hourly,
-    "events_sliding": q_events_sliding,
-    "summarize": q_summarize,
-    "training_corpus": q_training_corpus,
-    "doclen_quantiles": q_doclen_quantiles,
-    "top_words": q_top_words,
-    "join_orders_segment": q_join_orders_segment,
-    "join_orders_segment_bcast": q_join_orders_segment_bcast,
-    "revenue_by_region": q_revenue_by_region,
-    "pricing_summary": q_pricing_summary,
-    "parts_no_early_shipment": q_parts_no_early_shipment,
-    "supplier_revenue": q_supplier_revenue,
-    "events_sessionize": q_events_sessionize,
-    "events_asof_orders": q_events_asof_orders,
-    "funnel_conversion": q_funnel_conversion,
-    "event_props": q_event_props,
-    "dup_clusters": q_dup_clusters,
-    "chunk_pages": q_chunk_pages,
-    "longest_docs": q_longest_docs,
-    "size_class_counts": q_size_class_counts,
-    "sentence_split": q_sentence_split,
-    "prepare_text": q_prepare_text,
-    "markdown_structure": q_markdown_structure,
-    "slide_windows": q_slide_windows,
-    "markdown_report": q_markdown_report,
-    "blueprint_validate": q_blueprint_validate,
-    "chart_parse": q_chart_parse,
-    "render_outputs": q_render_outputs,
+    # --- newest additions first (unchecked by the r02 driver gate) ---
+    "line_dedup": q_line_dedup,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
-    "line_dedup": q_line_dedup,
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
     "text_windows": q_text_windows,
@@ -2889,8 +2877,64 @@ QUERIES = {
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
     "media_features": q_media_features,
-    "embedding_near_dups": q_embedding_near_dups,
-    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    # --- flagship + extraction path ---
+    "extract_e2e": q_extract_e2e,
+    "extraction_metrics": q_extraction_metrics,
+    "domain_stats": q_domain_stats,
+    "sniff_doc_types": q_sniff_doc_types,
+    "route_counts": q_route_counts,
+    "size_class_counts": q_size_class_counts,
+    "combine_pages_ref": q_combine_pages_ref,
+    # --- dedup family ---
+    "dedup_exact": q_dedup_exact,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
+    # --- text analysis / corpus prep ---
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
+    "longest_doc_per_lang": q_longest_doc_per_lang,
+    "fingerprint": q_fingerprint,
+    "summarize": q_summarize,
+    "training_corpus": q_training_corpus,
+    "doclen_quantiles": q_doclen_quantiles,
+    # --- similarity search ---
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lsh_topk": q_lsh_topk,
+    # --- events / windows ---
+    "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
+    "events_sessionize": q_events_sessionize,
+    "events_asof_orders": q_events_asof_orders,
+    "funnel_conversion": q_funnel_conversion,
+    "event_props": q_event_props,
+    # --- relational ---
+    "join_orders_segment": q_join_orders_segment,
+    "revenue_by_region": q_revenue_by_region,
+    "pricing_summary": q_pricing_summary,
+    # --- markdown / render ---
+    "markdown_structure": q_markdown_structure,
+    "slide_windows": q_slide_windows,
+    "render_outputs": q_render_outputs,
+    # ---- tail: long-stable (r02 driver-green + pytest-covered) ----
+    "join_orders_segment_bcast": q_join_orders_segment_bcast,
+    "parts_no_early_shipment": q_parts_no_early_shipment,
+    "supplier_revenue": q_supplier_revenue,
+    "normalize_text": q_normalize_text,
+    "clean_text": q_clean_text,
+    "ocr_whitelist": q_ocr_whitelist,
+    "combine_pages_lex": q_combine_pages_lex,
+    "top_words": q_top_words,
+    "sentence_split": q_sentence_split,
+    "prepare_text": q_prepare_text,
+    "chunk_pages": q_chunk_pages,
+    "longest_docs": q_longest_docs,
+    "markdown_report": q_markdown_report,
+    "blueprint_validate": q_blueprint_validate,
+    "chart_parse": q_chart_parse,
 }
 
 ORACLE_SQL = {

@@ -31,7 +31,17 @@ TRAIN_PCT = 90
 
 _RE_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 _RE_IP = re.compile(r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
-_RE_PHONE = re.compile(r"\+1-[0-9]{3}-[0-9]{4}")
+# NANP coverage: 10-digit forms with -/./space separators, optional
+# +1/1 prefix, optional (NPA) parens — plus the short +1-NNN-NNNN form
+# the construction oracle injects. Leftmost-first alternation semantics
+# are identical in Python re and DuckDB's RE2, so the SQL oracle
+# (SQL_PII_REDACT) carries the same pattern verbatim.
+_PHONE_PATTERN = (
+    r"(?:\+?1[-. ])?(?:\([0-9]{3}\) ?|\b[0-9]{3}[-. ])"
+    r"[0-9]{3}[-. ][0-9]{4}\b"
+    r"|\+1-[0-9]{3}-[0-9]{4}\b"
+)
+_RE_PHONE = re.compile(_PHONE_PATTERN)
 _RE_WORD = re.compile(r"\S+")
 
 

@@ -207,7 +207,9 @@ def cluster_pairs_distributed(
         .groupby("node")
         .min("label")
         .map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
+            # by-name (groupby emits "min(label)"): column order after a
+            # Ray groupby is an engine convention, not a contract
+            lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
             batch_format="pyarrow",
         )
     ).materialize()
@@ -266,7 +268,9 @@ def cluster_pairs_distributed(
             .groupby("node")
             .min("label")
             .map_batches(
-                lambda t: t.rename_columns(["node", "label"]),
+                lambda t: pa.table(
+                    {"node": t["node"], "label": t["min(label)"]}
+                ),
                 batch_format="pyarrow",
             )
             .materialize()
