@@ -16,6 +16,55 @@ import numpy as np
 _MERSENNE = (1 << 61) - 1
 _MAX_HASH = (1 << 32) - 1
 
+# Rolling polynomial hash bases (Rabin–Karp over codepoints). Both are
+# odd, so they're invertible mod 2^32 / 2^64 — prefix hashes can be
+# differenced with precomputed inverse powers and every shingle/token
+# substring hash falls out of ONE vectorized pass over the document
+# (no per-shingle hashlib calls; the round-2 profile showed per-shingle
+# md5 dominating minhash_near_dups + dup_clusters). The SQL oracles
+# (SQL_MINHASH_NEAR_DUPS / SQL_SIMHASH_NEAR_DUPS) reproduce the same
+# polynomial per shingle/token string: hash(s) = Σ cp(s[i])·B^(L-1-i)
+# mod 2^32 (or 2^64). uint32/uint64 numpy arithmetic wraps — the mod is
+# free.
+_B32 = 257
+_B32_INV = pow(_B32, -1, 1 << 32)
+_B64 = 1_000_003
+_B64_INV = pow(_B64, -1, 1 << 64)
+
+
+def _token_stream(toks: list[str]):
+    """Codepoint array of ' '.join(toks) plus per-token [start, end)
+    offsets. Tokens are \\w+ matches, so the single spaces inserted by
+    the join are EXACTLY the separator positions — token boundaries
+    come from one vectorized compare, not per-token length bookkeeping.
+    utf-32-le gives the exact codepoints zero-copy via frombuffer."""
+    s = " ".join(toks)
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    sp = np.nonzero(c == 32)[0]
+    starts = np.concatenate(([0], sp + 1))
+    ends = np.concatenate((sp, [len(c)]))
+    return c, starts, ends
+
+
+def _prefix_hash(c, base: int, base_inv: int, dtype):
+    """(pt, pw) such that the polynomial hash of c[l:r] (mod 2^32 or
+    2^64 by dtype) is ``(pt[r] - pt[l]) * pw[r - 1]`` — H(l, r) =
+    Σ_{i=l}^{r-1} c[i]·B^(r-1-i): pt accumulates c[i]·B^(-i) so the
+    difference telescopes, and the final multiply re-anchors the
+    exponent. All ops wrap in the unsigned dtype (exact modular
+    arithmetic), fully vectorized."""
+    n = len(c)
+    pw = np.empty(n + 1, dtype=dtype)
+    pw[0] = 1
+    np.cumprod(np.full(n, base, dtype=dtype), out=pw[1:])
+    pwinv = np.empty(n, dtype=dtype)
+    if n:
+        pwinv[0] = 1
+        np.cumprod(np.full(n - 1, base_inv, dtype=dtype), out=pwinv[1:])
+    pt = np.zeros(n + 1, dtype=dtype)
+    np.cumsum(c.astype(dtype) * pwinv, dtype=dtype, out=pt[1:])
+    return pt, pw
+
 
 def md5_hex(text: str) -> str:
     """Content hash; matches DuckDB ``md5(text)`` for the SQL oracle."""
@@ -55,6 +104,12 @@ class MinHasher:
     fits in uint64 WITHOUT wrapping — drawing them up to p would make
     ``np.outer`` wrap mod 2^64 before the mod-p reduction and silently
     leave the universal hash family.
+
+    Shingle hashes are base-257 polynomial hashes mod 2^32 of the
+    shingle's codepoints, extracted for ALL shingles of a document from
+    one prefix-hash pass over ' '.join(tokens) (each k-token shingle is
+    a substring of the join) — no per-shingle hashing loop. The SQL
+    oracle computes the identical polynomial per shingle string.
     """
 
     def __init__(self, num_perm: int = 64, seed: int = 12345):
@@ -63,50 +118,115 @@ class MinHasher:
         self.a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
 
-    def _shingle_hashes(self, sh: set[str]) -> np.ndarray:
-        return np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") for s in sh],
-            dtype=np.uint64,
-        )
+    def _shingle_hashes(self, text: str, k: int) -> np.ndarray:
+        """uint64[n_unique_shingles] of 32-bit polynomial shingle
+        hashes (duplicates dropped — the per-permutation min is
+        unaffected and the outer product shrinks)."""
+        toks = _RE_TOKEN.findall(text.lower())
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        c, starts, ends = _token_stream(toks)
+        pt, pw = _prefix_hash(c, _B32, _B32_INV, np.uint32)
+        t = len(toks)
+        if t < k:
+            l, r = starts[:1], ends[-1:]
+        else:
+            l, r = starts[: t - k + 1], ends[k - 1 :]
+        h = (pt[r] - pt[l]) * pw[r - 1]
+        return np.unique(h).astype(np.uint64)
 
     def signature(self, text: str, k: int = 3) -> np.ndarray:
         """uint32[num_perm] MinHash signature."""
-        sh = shingles(text, k)
-        if not sh:
-            return np.full(self.num_perm, _MAX_HASH, dtype=np.uint32)
-        x = self._shingle_hashes(sh)  # [n]
-        # [num_perm, n] — vectorized over both axes
-        hv = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
-        return (hv.min(axis=1) & _MAX_HASH).astype(np.uint32)
+        return self.signatures_batch([text], k)[0]
+
+    # shingle-count budget per fused kernel pass: bounds the [num_perm,
+    # n_shingles] uint64 temporary (~16 MB at 32k) while amortizing
+    # numpy kernel-launch overhead over many documents — per-doc numpy
+    # calls were the residual hot spot once hashing itself vectorized.
+    _CHUNK_SHINGLES = 32_768
+
+    def signatures_batch(self, texts: list[str], k: int = 3) -> np.ndarray:
+        """uint32[n_docs, num_perm] — one fused permutation pass per
+        ~_CHUNK_SHINGLES shingles with a segmented per-doc min
+        (np.minimum.reduceat), instead of one outer product per doc.
+        Docs with no shingles take the all-0xFFFFFFFF signature."""
+        xs = [self._shingle_hashes(t, k) for t in texts]
+        sigs = np.full((len(texts), self.num_perm), _MAX_HASH, dtype=np.uint32)
+        m = np.uint64(_MERSENNE)
+        i = 0
+        while i < len(xs):
+            j, total = i, 0
+            while j < len(xs) and (total == 0 or total + len(xs[j]) <= self._CHUNK_SHINGLES):
+                total += len(xs[j])
+                j += 1
+            idx = [d for d in range(i, j) if len(xs[d])]
+            if idx:
+                cat = np.concatenate([xs[d] for d in idx])
+                # p = 2^61-1 is Mersenne: y mod p = (y >> 61) + (y & p)
+                # with one conditional subtract (y < 2^64 → quotient
+                # ≤ 7, folded sum < 2p) — identical to ``% p``, no
+                # 64-bit division per cell.
+                y = self.a[:, None] * cat[None, :] + self.b[:, None]
+                y = (y >> np.uint64(61)) + (y & m)
+                y = np.where(y >= m, y - m, y)
+                offs = np.concatenate(
+                    ([0], np.cumsum([len(xs[d]) for d in idx])[:-1])
+                ).astype(np.int64)
+                mins = np.minimum.reduceat(y, offs, axis=1)  # [P, n_docs]
+                sigs[idx] = (mins & np.uint64(_MAX_HASH)).astype(np.uint32).T
+            i = j
+        return sigs
 
     def band_keys(self, sig: np.ndarray, num_bands: int = 16) -> list[str]:
-        """LSH band keys: md5 of each band's rows -> bucket ids."""
+        """LSH band keys: band index + hex of the band's raw signature
+        bytes. LOSSLESS (two docs share a key iff their band rows are
+        identical — exactly the SQL oracle's tuple-equality banding;
+        the former md5 digest matched only modulo collisions) and
+        cheaper than a hash call per band."""
         rows = self.num_perm // num_bands
         return [
-            f"{b}:" + hashlib.md5(sig[b * rows : (b + 1) * rows].tobytes()).hexdigest()[:16]
+            f"{b}:{sig[b * rows : (b + 1) * rows].tobytes().hex()}"
             for b in range(num_bands)
         ]
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (md5-derived token hashes)."""
+    """64-bit SimHash over word tokens. Token hashes are base-1000003
+    polynomial hashes mod 2^64 of each token's codepoints, extracted
+    for all tokens from one prefix-hash pass (duplicate tokens keep
+    their frequency weight, as SimHash requires). The SQL oracle
+    computes the identical polynomial per token string."""
     toks = _RE_TOKEN.findall(text.lower())
     if not toks:
         return 0
-    v = np.zeros(64, dtype=np.int64)
+    c, starts, ends = _token_stream(toks)
+    pt, pw = _prefix_hash(c, _B64, _B64_INV, np.uint64)
+    h = (pt[ends] - pt[starts]) * pw[ends - 1]  # [n_tokens] uint64
+    # murmur3 fmix64 finalizer: the raw polynomial lacks avalanche
+    # (tokens differing only in the last char get close hash values,
+    # correlating SimHash bits and inflating false near-dup pairs);
+    # after mixing, bit quality matches the md5-derived hashes it
+    # replaced. The SQL oracle applies the identical mix.
+    h = _fmix64(h)
     shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for t in toks:
-        h = np.uint64(
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        )
-        bits = (h >> shifts) & one
-        v += np.where(bits == one, 1, -1)
-    out = 0
-    for i in range(64):
-        if v[i] > 0:
-            out |= 1 << i
-    return out
+    bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+    v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out_bits = (v > 0).astype(np.uint64)
+    return int(out_bits @ (np.uint64(1) << shifts))
+
+
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer (xor-shift / multiply avalanche),
+    vectorized; uint64 multiply wraps mod 2^64."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * _FMIX_C1
+    h = h ^ (h >> np.uint64(33))
+    h = h * _FMIX_C2
+    return h ^ (h >> np.uint64(33))
 
 
 def hamming64(a: int, b: int) -> int:

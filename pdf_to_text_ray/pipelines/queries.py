@@ -408,9 +408,11 @@ def _minhash_params_values() -> str:
 
 
 # h_j(x) = ((a_j*x + b_j) mod (2^61-1)) mod 2^32 over 32-bit shingle
-# hashes (first 4 md5 bytes big-endian, built nibble-wise); a_j*x fits
-# UBIGINT because a, x < 2^32. Docs with no shingles take the
-# all-0xFFFFFFFF signature like MinHasher.signature does.
+# hashes: base-257 polynomial over the shingle's codepoints mod 2^32
+# (Horner via list_reduce — bit-identical to the engine's vectorized
+# prefix-hash extraction, functions/hashing.py). a_j*x fits UBIGINT
+# because a, x < 2^32. Docs with no shingles take the all-0xFFFFFFFF
+# signature like MinHasher.signature does.
 SQL_MINHASH_NEAR_DUPS = r"""
 WITH params(j, a, b) AS (VALUES __MINHASH_PARAMS__),
 tok AS (
@@ -426,12 +428,11 @@ tok AS (
   FROM tok
 ), shx AS (
   SELECT doc_id, s,
-    sum(CAST(strpos('0123456789abcdef', substr(md5(s), k + 1, 1)) - 1 AS UBIGINT)
-        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
-               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
-               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS UBIGINT)) AS x
-  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), generate_series(0, 7) AS g(k)
-  GROUP BY doc_id, s
+    list_reduce(
+      list_transform(range(1, length(s) + 1),
+                     i -> CAST(unicode(substr(s, i, 1)) AS UBIGINT)),
+      (acc, cp) -> (acc * 257 + cp) % 4294967296) AS x
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
 ), sig0 AS (
   -- min over FULL mod-p values, truncated to 32 bits AFTER the min —
   -- MinHasher.signature does hv.min() & 0xFFFFFFFF, not min(hv & ...),
@@ -474,22 +475,50 @@ def q_simhash_near_dups(sf_dir: str):
     return dedup_mod.simhash_near_dups(_read_documents(sf_dir))
 
 
-# simhash64 reproduced in SQL: token hash = first 8 md5 bytes big-endian;
-# bit i lives in hex nibble 16 - i//4 at sub-bit i%4 (small shifts only —
-# DuckDB's 64-bit left shift overflow-checks); v_i = sum(+/-1); signature
-# bit = v_i > 0; hamming compared per-bit (sig never materialized as an
-# integer).
+# simhash64 reproduced in SQL: token hash = base-1000003 polynomial
+# over the token's codepoints mod 2^64 (Horner via list_reduce in
+# HUGEINT, cast back to UBIGINT — bit-identical to the engine's
+# vectorized prefix-hash extraction, functions/hashing.py); v_i =
+# sum(+/-1) over per-token bit i; signature bit = v_i > 0; hamming
+# compared per-bit (sig never materialized as a signed integer).
 SQL_SIMHASH_NEAR_DUPS = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
   FROM documents
+), hraw AS (
+  SELECT doc_id,
+    CAST(list_reduce(
+      list_transform(range(1, length(tok) + 1),
+                     i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT)),
+      (acc, cp) -> (acc * 1000003 + cp) % 18446744073709551616)
+      AS UBIGINT) AS h0
+  FROM toks
+), f1 AS (
+  -- murmur3 fmix64 finalizer, step by step (same mix as
+  -- functions/hashing.py _fmix64). The mod-2^64 multiply is split into
+  -- 32-bit halves — h*C = ((hi*C mod 2^32)<<32 + lo*C) mod 2^64 — so
+  -- no intermediate exceeds HUGEINT (a direct 64x64 product can hit
+  -- 2^127 and overflow INT128).
+  SELECT doc_id, xor(h0, h0 >> CAST(33 AS UBIGINT)) AS h1 FROM hraw
+), f2 AS (
+  SELECT doc_id, CAST((
+      ((CAST(h1 >> CAST(32 AS UBIGINT) AS HUGEINT) * 18397679294719823053)
+        % 4294967296) * 4294967296
+      + CAST(h1 & CAST(4294967295 AS UBIGINT) AS HUGEINT) * 18397679294719823053
+    ) % 18446744073709551616 AS UBIGINT) AS h2 FROM f1
+), f3 AS (
+  SELECT doc_id, xor(h2, h2 >> CAST(33 AS UBIGINT)) AS h3 FROM f2
+), f4 AS (
+  SELECT doc_id, CAST((
+      ((CAST(h3 >> CAST(32 AS UBIGINT) AS HUGEINT) * 14181476777654086739)
+        % 4294967296) * 4294967296
+      + CAST(h3 & CAST(4294967295 AS UBIGINT) AS HUGEINT) * 14181476777654086739
+    ) % 18446744073709551616 AS UBIGINT) AS h4 FROM f3
 ), hx AS (
-  SELECT doc_id, md5(tok) AS hex FROM toks
+  SELECT doc_id, xor(h4, h4 >> CAST(33 AS UBIGINT)) AS h FROM f4
 ), bitvals AS (
   SELECT doc_id, i,
-    sum(CASE WHEN ((strpos('0123456789abcdef',
-                           substr(hex, 16 - i // 4, 1)) - 1)
-               >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    sum(CASE WHEN (h >> CAST(i AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
   FROM hx, generate_series(0, 63) AS g(i)
   GROUP BY doc_id, i
 ), sigbits AS (

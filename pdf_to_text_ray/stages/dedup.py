@@ -30,7 +30,6 @@ from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import (
     MinHasher,
-    hamming64,
     jaccard,
     md5_hex,
     shingles,
@@ -79,17 +78,20 @@ class MinHashStage:
         self._bands = num_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_keys = [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = self._mh.signature(text, SHINGLE_K)
-            for key in self._mh.band_keys(sig, self._bands):
-                doc_ids.append(did)
-                band_keys.append(key)
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy()
+        sigs = self._mh.signatures_batch(
+            batch["text"].to_pylist(), SHINGLE_K
+        )  # [n_docs, num_perm] in ONE fused permutation pass
+        band_keys = [
+            key
+            for row in sigs
+            for key in self._mh.band_keys(row, self._bands)
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self._bands), pa.int64()),
                 "band_key": pa.array(band_keys, pa.string()),
                 "band_part": pa.array(
                     _key_partition(band_keys, NUM_LSH_PARTITIONS), pa.int32()
@@ -113,17 +115,66 @@ def _key_partition(keys: list[str], num_partitions: int) -> list[int]:
     return [zlib.crc32(k.encode()) % num_partitions for k in keys]
 
 
+def _bucket_layout(keys, ids):
+    """Sorted-bucket layout for vectorized pair emission: given
+    parallel key/id arrays (already restricted to non-singleton
+    buckets, (key, id) pairs distinct), returns (ids_sorted, counts,
+    starts) where each bucket occupies one contiguous, id-sorted run."""
+    import numpy as np
+
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    change = np.concatenate(([True], keys[1:] != keys[:-1]))
+    bucket = np.cumsum(change) - 1
+    counts = np.bincount(bucket)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return ids, counts, starts
+
+
+def _emit_pairs(values, counts, starts):
+    """All within-bucket index pairs, vectorized by bucket SIZE: one
+    triu_indices template per distinct size (a handful — LSH buckets
+    are tiny), applied to every bucket of that size at once. Returns
+    (left_rows, right_rows) as indices into ``values``' index space."""
+    import numpy as np
+
+    a_out, b_out = [], []
+    for s in np.unique(counts):
+        if s < 2:
+            continue
+        st = starts[counts == s]
+        mat = st[:, None] + np.arange(s)[None, :]  # [n_buckets_s, s]
+        iu, ju = np.triu_indices(s, 1)
+        a_out.append(mat[:, iu].ravel())
+        b_out.append(mat[:, ju].ravel())
+    if not a_out:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
 def _partition_pairs(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    """Candidate pairs within one hash-partition of buckets — fully
+    vectorized (no per-bucket Python): singleton buckets drop with one
+    duplicated() mask, the rest emit pairs via the per-size triu
+    template. Ids are sorted within bucket, so doc_a < doc_b."""
+    import numpy as np
+
+    df = df[[key_col, "doc_id"]].drop_duplicates()
     dup = df[df.duplicated(key_col, keep=False)]
-    a, b = [], []
-    for _, g in dup.groupby(key_col, sort=False):
-        ids = sorted(set(g["doc_id"].tolist()))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+    if dup.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.array([], "int64"), "doc_b": pd.array([], "int64")}
+        )
+    keys = dup[key_col].to_numpy()
+    ids = dup["doc_id"].to_numpy()
+    ids, counts, starts = _bucket_layout(keys, ids)
+    li, ri = _emit_pairs(ids, counts, starts)
     return pd.DataFrame(
-        {"doc_a": pd.array(a, "int64"), "doc_b": pd.array(b, "int64")}
+        {
+            "doc_a": pd.array(ids[li], "int64"),
+            "doc_b": pd.array(ids[ri], "int64"),
+        }
     )
 
 
@@ -144,16 +195,28 @@ def minhash_task_fn(
     return stage(batch)
 
 
-def minhash_candidate_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """documents -> deduplicated candidate pairs (doc_a < doc_b)."""
+def minhash_candidate_pairs(
+    ds: ray.data.Dataset, distinct: bool = True
+) -> ray.data.Dataset:
+    """documents -> candidate pairs (doc_a < doc_b).
+
+    The same pair can surface from several bands; ``distinct=True``
+    dedups with a (doc_a, doc_b) groupby — a full shuffle.
+    ``distinct=False`` skips it for callers that dedup more cheaply
+    (``minhash_near_dups``'s broadcast regime np.unique's the packed
+    pair keys in the same driver pass that already pulls the pair
+    blocks — one whole shuffle saved on the hot path)."""
     bands = ds.map_batches(
         minhash_task_fn, batch_format="pyarrow", batch_size=256
     )
     pairs = bands.groupby("band_part").map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-    # same pair can surface from several bands -> distinct
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    if distinct:
+        pairs = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+            Count(alias_name="n_bands")
+        )
+    return pairs
 
 
 def _pair_sides(batch: pa.Table) -> pa.Table:
@@ -369,23 +432,44 @@ def minhash_near_dups(
     """
     import numpy as np
 
-    pairs = minhash_candidate_pairs(ds).materialize()
-    if pairs.size_bytes() > pair_budget_bytes:
+    # raw (band-duplicated) pairs: the global distinct groupby is
+    # deferred — the broadcast regime dedups driver-side in the same
+    # pass that already pulls the pair blocks (duplicate multiplicity
+    # is bounded by num_bands, so the budget check stays meaningful),
+    # and only the join fallbacks pay for a distributed distinct.
+    raw = minhash_candidate_pairs(ds, distinct=False).materialize()
+    if raw.size_bytes() > pair_budget_bytes:
+        pairs = raw.groupby(["doc_a", "doc_b"]).aggregate(
+            Count(alias_name="n_bands")
+        )
         texts = ds.map_batches(
             lambda t: pa.table({"side_id": t["doc_id"], "text": t["text"]}),
             batch_format="pyarrow",
         )
         return _verify_by_join(pairs, texts, threshold, num_partitions)
 
-    blocks = ray.get(pairs.to_arrow_refs())
+    blocks = ray.get(raw.to_arrow_refs())
     pair_tbl = pa.concat_tables(blocks) if blocks else None
     if pair_tbl is None or pair_tbl.num_rows == 0:
         return ray.data.from_arrow(_EMPTY_VERIFIED)
-    cand = np.unique(
-        np.concatenate(
-            [pair_tbl["doc_a"].to_numpy(), pair_tbl["doc_b"].to_numpy()]
-        )
+    uniq = np.unique(
+        np.stack(
+            [pair_tbl["doc_a"].to_numpy(), pair_tbl["doc_b"].to_numpy()],
+            axis=1,
+        ),
+        axis=0,
     )
+    pair_chunks = [
+        pa.table(
+            {
+                "doc_a": pa.array(uniq[i : i + 8192, 0], pa.int64()),
+                "doc_b": pa.array(uniq[i : i + 8192, 1], pa.int64()),
+            }
+        )
+        for i in range(0, len(uniq), 8192)
+    ]
+    pairs = ray.data.from_arrow(pair_chunks)
+    cand = np.unique(uniq.ravel())
     ids_ref = ray.put(cand)
     cand_texts = ds.map_batches(
         make_candidate_text_filter(ids_ref), batch_format="pyarrow"
@@ -437,23 +521,44 @@ def _simhash_chunk_rows(batch: pa.Table) -> pa.Table:
 
 def _simhash_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     """Pairs within one hash-partition of chunk buckets (same
-    singleton-skip strategy as _bucket_pairs)."""
+    singleton-skip + vectorized per-size pair emission as
+    _bucket_pairs); Hamming distance via xor + unpackbits popcount —
+    no per-pair Python."""
+    import numpy as np
+
+    df = df[["chunk_key", "doc_id", "simhash"]].drop_duplicates(
+        ["chunk_key", "doc_id"]
+    )
     dup = df[df.duplicated("chunk_key", keep=False)]
-    a, b, d = [], [], []
-    for _, g in dup.groupby("chunk_key", sort=False):
-        rows = sorted(
-            set(zip(g["doc_id"].tolist(), (int(s) for s in g["simhash"].tolist())))
-        )
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                dist = hamming64(rows[i][1], rows[j][1])
-                if dist <= 3:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(dist)
+    empty = pd.DataFrame(
+        {"doc_a": pd.array([], "int64"), "doc_b": pd.array([], "int64"),
+         "hamming": pd.array([], "int64")}
+    )
+    if dup.empty:
+        return empty
+    keys = dup["chunk_key"].to_numpy()
+    ids = dup["doc_id"].to_numpy()
+    sigs = dup["simhash"].to_numpy().astype(np.uint64)
+    order = np.lexsort((ids, keys))
+    keys, ids, sigs = keys[order], ids[order], sigs[order]
+    change = np.concatenate(([True], keys[1:] != keys[:-1]))
+    bucket = np.cumsum(change) - 1
+    counts = np.bincount(bucket)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    li, ri = _emit_pairs(ids, counts, starts)
+    if not len(li):
+        return empty
+    x = sigs[li] ^ sigs[ri]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+        axis=1
+    ).astype(np.int64)
+    keep = ham <= 3
     return pd.DataFrame(
-        {"doc_a": pd.array(a, "int64"), "doc_b": pd.array(b, "int64"),
-         "hamming": pd.array(d, "int64")}
+        {
+            "doc_a": pd.array(ids[li][keep], "int64"),
+            "doc_b": pd.array(ids[ri][keep], "int64"),
+            "hamming": pd.array(ham[keep], "int64"),
+        }
     )
 
 
