@@ -2170,9 +2170,10 @@ LATERAL (VALUES
 def q_funnel_conversion(sf_dir: str):
     """Signup -> purchase funnel per user (ordered-sequence analytics):
     for every user who signed up, the first signup time and the first
-    purchase AT OR AFTER it. Needs per-key event order, so it rides the
-    same ``groupby(user_id).map_groups`` shape as sessionization;
-    timestamps emitted as µs ints (exact cross-engine compare)."""
+    purchase AT OR AFTER it. Users hash into bounded partitions
+    (relational.NUM_EVENT_PARTITIONS) and both funnel stages compute
+    vectorized within each — no per-user pandas groups; timestamps
+    emitted as µs ints (exact cross-engine compare)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     ).map_batches(
@@ -2187,34 +2188,7 @@ def q_funnel_conversion(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     )
-
-    def per_user(df):
-        import pandas as pd
-
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
-        signup = ts_us[df["event_type"] == "signup"]
-        if signup.empty:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.array([], "int64"),
-                    "signup_ts_us": pd.array([], "int64"),
-                    "purchase_ts_us": pd.array([], "Int64"),
-                    "converted": pd.array([], "boolean"),
-                }
-            )
-        s0 = int(signup.min())
-        purch = ts_us[(df["event_type"] == "purchase") & (ts_us >= s0)]
-        p0 = int(purch.min()) if not purch.empty else None
-        return pd.DataFrame(
-            {
-                "user_id": pd.array([int(df["user_id"].iloc[0])], "int64"),
-                "signup_ts_us": pd.array([s0], "int64"),
-                "purchase_ts_us": pd.array([p0], "Int64"),
-                "converted": pd.array([p0 is not None], "boolean"),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return relational.funnel_conversion(ds)
 
 
 SQL_FUNNEL_CONVERSION = """

@@ -10,9 +10,11 @@ engine needs them; these follow the Ray guide patterns:
   up inside ``map_batches`` (no shuffle).
 * as-of join     -> broadcast small side sorted per key + numpy
   ``searchsorted`` per batch.
-* sessionization -> ``groupby(user).map_groups`` over ts-sorted groups
-  (Ray Data has no event-time windows; the ordering assumption is
-  sort-within-group, which map_groups guarantees after the shuffle).
+* sessionize/funnel -> users hashed into bounded partitions
+  (``groupby(user_part)``), per-key logic vectorized WITHIN each
+  partition off sorted run boundaries (Ray Data has no event-time
+  windows; one pandas frame per user would be the per-group-overhead
+  cliff at real user cardinality).
 """
 
 from __future__ import annotations
@@ -77,32 +79,143 @@ def orders_by_segment(
 
 # ------------------------------------------------------ sessionization
 
-def _sessionize_group(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+# Per-key event ops (sessionize, funnel) hash users into a BOUNDED
+# number of partitions and vectorize within each partition — one pandas
+# frame per user (groupby(user_id).map_groups) is the per-group-
+# overhead cliff this codebase engineers around everywhere else
+# (dedup.NUM_LSH_PARTITIONS): at 10^8 users the per-group Python
+# dominates; at 64 partitions the work is numpy over contiguous runs.
+NUM_EVENT_PARTITIONS = 64
+
+
+def add_user_part(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    part = pc.cast(
+        pc.bit_wise_and(
+            batch["user_id"], pa.scalar(NUM_EVENT_PARTITIONS - 1, pa.int64())
+        ),
+        pa.int32(),
+    )
+    return batch.append_column("user_part", part)
+
+
+def _ts_us(col: pd.Series) -> "np.ndarray":
     # normalize to microseconds regardless of the pandas datetime unit
     # (arrow timestamp[us] -> datetime64[ns] in pandas<2 would otherwise
-    # make the gap constant off by 1000x)
-    ts_us = df["ts"].astype("datetime64[us]").astype("int64")
-    new_session = (ts_us.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US)
-    df = df.assign(session_id=new_session.cumsum().astype("int64") - 1)
-    g = df.groupby("session_id", sort=True)
-    out = pd.DataFrame(
+    # make gap constants off by 1000x)
+    return col.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def _sessionize_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-partition of users -> session rows, fully vectorized:
+    sort by (user, ts, event_id), flag session starts with one diff
+    against the gap (user boundaries always start a session), then
+    read every per-session aggregate off the run boundaries — no
+    per-user or per-session Python."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy()
+    ts_us = _ts_us(df["ts"])
+    n = len(df)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    gap = np.empty(n, dtype=bool)
+    gap[0] = True
+    gap[1:] = (ts_us[1:] - ts_us[:-1]) > SESSION_GAP_US
+    new_sess = new_user | gap
+    seg = np.cumsum(new_sess) - 1  # global session run id
+    # per-user session_id = run id relative to the user's first run
+    first_seg_of_user = seg[new_user]
+    user_idx = np.cumsum(new_user) - 1
+    session_id = seg - first_seg_of_user[user_idx]
+    starts = np.flatnonzero(new_sess)
+    ends = np.concatenate((starts[1:], [n]))
+    return pd.DataFrame(
         {
-            "user_id": g["user_id"].first(),
-            "session_id": g["session_id"].first(),
-            "n_events": g.size().astype("int64"),
-            "start_ts": g["ts"].min(),
-            "end_ts": g["ts"].max(),
+            "user_id": pd.array(uid[starts], "int64"),
+            "session_id": pd.array(session_id[starts], "int64"),
+            "n_events": pd.array(ends - starts, "int64"),
+            # rows are ts-sorted within a session run: first = min,
+            # last = max
+            "start_ts": pd.Series(ts_us[starts].astype("datetime64[us]")),
+            "end_ts": pd.Series(ts_us[ends - 1].astype("datetime64[us]")),
         }
     )
-    return out.reset_index(drop=True)
 
 
 def sessionize(events: ray.data.Dataset) -> ray.data.Dataset:
-    """Session windows (30-min inactivity gap) per user —
-    ``groupby(user_id).map_groups`` over the ts-sorted group."""
-    return events.groupby("user_id").map_groups(
-        _sessionize_group, batch_format="pandas"
+    """Session windows (30-min inactivity gap) per user — users hashed
+    into NUM_EVENT_PARTITIONS bounded partitions (map-side), sessions
+    computed vectorized within each partition."""
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_sessionize_partition, batch_format="pandas")
+    )
+
+
+def _funnel_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-partition of users -> (user, first signup, first
+    purchase at/after it), vectorized: first signup per user off the
+    sorted run boundaries, purchases matched to their user's signup by
+    searchsorted, first qualifying purchase again off run boundaries."""
+    df = df.sort_values(["user_id", "ts"], kind="mergesort")
+    uid = df["user_id"].to_numpy()
+    ts_us = _ts_us(df["ts"])
+    ev = df["event_type"].to_numpy()
+
+    m_sign = ev == "signup"
+    su, st = uid[m_sign], ts_us[m_sign]
+    if not len(su):
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], "int64"),
+                "signup_ts_us": pd.array([], "int64"),
+                "purchase_ts_us": pd.array([], "Int64"),
+                "converted": pd.array([], "boolean"),
+            }
+        )
+    first_s = np.empty(len(su), dtype=bool)
+    first_s[0] = True
+    first_s[1:] = su[1:] != su[:-1]
+    s_users, s0 = su[first_s], st[first_s]  # sorted unique users
+
+    m_pur = ev == "purchase"
+    pu, pt = uid[m_pur], ts_us[m_pur]
+    pos = np.searchsorted(s_users, pu)
+    pos_c = np.minimum(pos, len(s_users) - 1)
+    qual = (s_users[pos_c] == pu) & (pt >= s0[pos_c])
+    vu, vt = pu[qual], pt[qual]
+    p0 = np.full(len(s_users), 0, dtype="int64")
+    has_p = np.zeros(len(s_users), dtype=bool)
+    if len(vu):
+        first_p = np.empty(len(vu), dtype=bool)
+        first_p[0] = True
+        first_p[1:] = vu[1:] != vu[:-1]
+        ppos = np.searchsorted(s_users, vu[first_p])
+        p0[ppos] = vt[first_p]
+        has_p[ppos] = True
+    return pd.DataFrame(
+        {
+            "user_id": pd.array(s_users, "int64"),
+            "signup_ts_us": pd.array(s0, "int64"),
+            "purchase_ts_us": pd.array(
+                [int(v) if h else None for v, h in zip(p0, has_p)], "Int64"
+            ),
+            "converted": pd.array(has_p, "boolean"),
+        }
+    )
+
+
+def funnel_conversion(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Signup -> purchase funnel per user. Callers should pre-filter
+    event_type map-side; this hashes users into bounded partitions and
+    computes both funnel stages vectorized within each."""
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_funnel_partition, batch_format="pandas")
     )
 
 

@@ -31,7 +31,7 @@ def test_sessionize_splits_on_gap():
             (5, 7, T0 + timedelta(minutes=80)),
         ]
     )
-    out = relational._sessionize_group(df)
+    out = relational._sessionize_partition(df)
     assert out["session_id"].tolist() == [0, 1]
     assert out["n_events"].tolist() == [3, 2]
     assert out["start_ts"].tolist() == [T0, T0 + timedelta(minutes=75)]
@@ -42,8 +42,56 @@ def test_sessionize_splits_on_gap():
 
 def test_sessionize_exact_gap_is_same_session():
     df = _events([(1, 7, T0), (2, 7, T0 + timedelta(minutes=30))])
-    out = relational._sessionize_group(df)
+    out = relational._sessionize_partition(df)
     assert out["session_id"].tolist() == [0]  # strict > gap splits
+
+
+def test_sessionize_partition_user_boundary_always_splits():
+    # two users co-resident in one hash partition: user 8's first event
+    # is < gap after user 7's last — a session must still start, and
+    # user 8's session_id restarts at 0
+    df = _events(
+        [
+            (1, 7, T0),
+            (2, 7, T0 + timedelta(minutes=40)),   # user 7 session 1
+            (3, 8, T0 + timedelta(minutes=41)),   # new user -> session 0
+            (4, 8, T0 + timedelta(minutes=45)),
+        ]
+    )
+    out = relational._sessionize_partition(df).sort_values(
+        ["user_id", "session_id"]
+    )
+    assert list(zip(out["user_id"], out["session_id"], out["n_events"])) == [
+        (7, 0, 1), (7, 1, 1), (8, 0, 2)
+    ]
+
+
+def test_funnel_partition_vectorized_semantics():
+    rows = [
+        # user 1: purchase before signup doesn't count; one after does
+        (1, "purchase", T0 - timedelta(hours=1)),
+        (1, "signup", T0),
+        (1, "purchase", T0 + timedelta(hours=2)),
+        (1, "purchase", T0 + timedelta(hours=5)),  # not first
+        # user 2: signup, never purchases
+        (2, "signup", T0 + timedelta(minutes=3)),
+        # user 3: purchase only (no signup) -> excluded entirely
+        (3, "purchase", T0),
+        # user 4: purchase at EXACTLY signup ts counts (>=)
+        (4, "signup", T0),
+        (4, "purchase", T0),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]).astype(
+        {"user_id": "int64"}
+    )
+    out = relational._funnel_partition(df).set_index("user_id")
+    us = int(T0.timestamp() * 1_000_000)
+    assert sorted(out.index) == [1, 2, 4]
+    assert bool(out.loc[1, "converted"]) is True
+    assert int(out.loc[1, "purchase_ts_us"]) == us + 2 * 3600 * 1_000_000
+    assert bool(out.loc[2, "converted"]) is False
+    assert pd.isna(out.loc[2, "purchase_ts_us"])
+    assert int(out.loc[4, "purchase_ts_us"]) == us
 
 
 def test_asof_join_edges():
