@@ -7,12 +7,13 @@ Ray is initialised by the driver BEFORE this module is imported; no
 * ``entry()``       — flagship extraction pipeline on sf0.001.
 * ``queries()``     — one callable per implemented operator/pipeline
                       (SURVEY.md §2 + training-data ops).
-* ``oracle_sql()``  — DuckDB-equivalent SQL for every query except
-                      ``size_class_counts`` (zlib payload bytes are
-                      inherently non-SQL; it is rows-only checked and
-                      pinned by pytest). The MinHash/SimHash sketches,
-                      LSH bucketing, clustering (recursive closure)
-                      and renderers all have full SQL oracles.
+* ``oracle_sql()``  — DuckDB-equivalent SQL for EVERY query (62/62).
+                      The MinHash/SimHash sketches, LSH bucketing,
+                      clustering (recursive closure), renderers and
+                      the payload byte-accounting (size_class_counts:
+                      exact HTML/PDF container length reconstruction,
+                      stored-block zlib framing) all have full SQL
+                      oracles.
 """
 
 from __future__ import annotations

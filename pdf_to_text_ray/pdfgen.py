@@ -24,6 +24,15 @@ from __future__ import annotations
 import zlib
 
 OCR_MAGIC = b"OCRSTUB1"  # prefix of the embedded "raster" payload
+
+# zlib level for generated streams: 0 (stored blocks) keeps the
+# FlateDecode framing REAL — the parser inflates them like any deflate
+# stream — while making every stream length a closed form of its
+# content: len + 11 + 5*(len // 65535). That closed form lets the
+# byte-accounting oracle (SQL_SIZE_CLASS_COUNTS) reconstruct exact
+# payload sizes in pure SQL. Parser compatibility with genuinely
+# compressed streams stays pinned by tests that build at level 6.
+ZLIB_LEVEL = 0
 WORDS_PER_LINE = 8
 PAGE_W, PAGE_H = 612, 792
 TOP_Y, LEADING, LEFT_X, MID_X = 760, 14, 72, 300
@@ -94,9 +103,9 @@ def _image_ops() -> bytes:
     return b"q\n%d 0 0 %d 0 0 cm\n/Im0 Do\nQ" % (PAGE_W, PAGE_H)
 
 
-def make_image_xobject_stream(page_text: str) -> bytes:
+def make_image_xobject_stream(page_text: str, zlevel: int = ZLIB_LEVEL) -> bytes:
     """The fake raster: Flate-compressed ``OCRSTUB1`` + utf-8 page text."""
-    return zlib.compress(OCR_MAGIC + page_text.encode("utf-8"), 6)
+    return zlib.compress(OCR_MAGIC + page_text.encode("utf-8"), zlevel)
 
 
 def build_pdf(
@@ -104,6 +113,7 @@ def build_pdf(
     text_layer: bool = True,
     image_layer: bool = True,
     flate: bool = False,
+    zlevel: int = ZLIB_LEVEL,
 ) -> bytes:
     """Assemble a complete PDF.
 
@@ -141,7 +151,7 @@ def build_pdf(
             parts.append(_image_ops())
         content = b"\n".join(parts)
         if flate:
-            data = zlib.compress(content, 6)
+            data = zlib.compress(content, zlevel)
             objects[cid] = (
                 b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
                 + data
@@ -152,7 +162,7 @@ def build_pdf(
                 b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
             )
         if image_layer:
-            img = make_image_xobject_stream(ptext)
+            img = make_image_xobject_stream(ptext, zlevel)
             objects[iid] = (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 "

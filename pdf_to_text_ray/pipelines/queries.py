@@ -1873,8 +1873,12 @@ FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 
 def q_size_class_counts(sf_dir: str):
     """Grouped metrics by payload size class (skew bucketing evidence).
-    Payload bytes depend on zlib output — rows-only check; invariants
-    pinned by pytest."""
+    The SQL oracle reconstructs every payload's EXACT byte length from
+    documents.text alone — HTML templates rebuilt as strings, PDF
+    container arithmetic (object wrappers, xref, trailer, per-line
+    content-stream ops) mirrored term by term, zlib streams at stored-
+    block level 0 so Flate lengths are the closed form
+    len + 11 + 5*(len // 65535) (pdfgen.ZLIB_LEVEL)."""
     docs = synthesize_docs(sf_dir)
     ds = docs.map_batches(
         make_sniffer(DEFAULT_CONFIG), batch_format="pyarrow", batch_size=None
@@ -1882,6 +1886,238 @@ def q_size_class_counts(sf_dir: str):
     return ds.groupby("size_class").aggregate(
         Count(alias_name="n_docs"), Sum("n_bytes", alias_name="total_bytes")
     )
+
+
+def _size_oracle_sql() -> str:
+    """SQL_SIZE_CLASS_COUNTS body: per-doc payload byte lengths
+    reconstructed from documents.text alone, then bucketed and grouped.
+
+    HTML classes rebuild the escaped text and add template constants;
+    PDF classes mirror build_pdf's container arithmetic exactly —
+    per-line content-stream op lengths (split/TJ/simple by line parity
+    and word count), stored-block zlib framing (len + 11 + 5*(len //
+    65535)), object wrappers, kids list, xref rows, trailer — every
+    constant measured from the live templates in
+    _size_oracle_constants(). The stale re-crawl rows of cls 2 are
+    included like synthesize_batch emits them."""
+    c = _size_oracle_constants()
+    cfg = DEFAULT_CONFIG
+    wpp, wpl = c["WORDS_PER_PAGE"], c["WORDS_PER_LINE"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, doc_id % 10 AS cls FROM documents
+), esc AS (
+  SELECT doc_id, cls,
+    strlen(replace(replace(replace(replace(replace(t,
+      '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'),
+      chr(39), '&#x27;')) AS esc_len,
+    length(CAST(doc_id AS VARCHAR)) AS idd
+  FROM (
+    SELECT doc_id, cls, text AS t FROM base WHERE cls <= 5
+    UNION ALL
+    SELECT doc_id, cls, 'stale draft of ' || text FROM base WHERE cls = 2
+  )
+), html_bytes AS (
+  SELECT doc_id,
+    CAST(CASE WHEN cls <= 2 THEN {c['HTML_SIMPLE_BASE']} + idd + esc_len
+              WHEN cls <= 4 THEN {c['HTML_BOILER_BASE']} + idd + esc_len
+              ELSE {c['HTML_MALFORMED_BASE']} + esc_len END AS BIGINT)
+      AS n_bytes
+  FROM esc
+), junk_bytes AS (
+  SELECT doc_id, CAST({c['JUNK_LEN']} AS BIGINT) AS n_bytes
+  FROM base WHERE cls = 9
+), pdocs AS (
+  SELECT doc_id, cls, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS nw
+  FROM base WHERE cls IN (6, 7, 8)
+), pp AS (
+  SELECT doc_id, cls, nw, w,
+    unnest(range(0, (nw + {wpp - 1}) // {wpp})) AS p
+  FROM pdocs
+), pages AS (
+  SELECT doc_id, cls, p,
+    array_to_string(
+      list_slice(w, p * {wpp} + 1, least((p + 1) * {wpp}, nw)), ' ') AS ptext
+  FROM pp
+), pinfo AS (
+  SELECT doc_id, cls, p, strlen(ptext) AS pb,
+    strlen(ptext) + length(regexp_extract_all(ptext, '[\\\\()]')) AS eb,
+    CASE WHEN ptext = '' THEN 0
+         ELSE len(string_split(ptext, ' ')) END AS npw
+  FROM pages
+), ptl AS (
+  SELECT doc_id, cls, p, pb,
+    CASE WHEN npw = 0 THEN 0 ELSE (npw + {wpl - 1}) // {wpl} END AS nlines,
+    npw, eb
+  FROM pinfo
+), pops AS (
+  -- per-page text-layer length from line structure: f full lines of
+  -- {wpl} words (even index -> split pair, odd -> TJ), last line by
+  -- its own parity/word count; sum of escaped line bytes telescopes
+  -- to eb - (nlines - 1)
+  SELECT doc_id, cls, p, pb, nlines,
+    CASE WHEN npw = 0 THEN {c['TL_EMPTY']}
+         ELSE {c['TL_FIXED']}
+           + {c['OP_SPLIT']} * ((nlines - 1 + 1) // 2)
+           + {c['OP_TJ']} * ((nlines - 1) // 2)
+           + CASE WHEN (nlines - 1) % 2 = 0
+                  THEN CASE WHEN npw - {wpl} * (nlines - 1) >= 4
+                            THEN {c['OP_SPLIT']} ELSE {c['OP_SIMPLE']} END
+                  ELSE CASE WHEN npw - {wpl} * (nlines - 1) >= 2
+                            THEN {c['OP_TJ']} ELSE {c['OP_SIMPLE']} END END
+           + (eb - (nlines - 1))
+           + (3 + 2 * ((nlines - 1 + 1) // 2) + ((nlines - 1) // 2)
+              + CASE WHEN (nlines - 1) % 2 = 0
+                          AND npw - {wpl} * (nlines - 1) >= 4
+                     THEN 2 ELSE 1 END) - 1
+         END AS tl_len
+  FROM ptl
+), pstreams AS (
+  SELECT doc_id, cls, p, pb, tl_len,
+    CASE WHEN cls = 8 THEN {c['IMG_OPS']}
+         ELSE tl_len + 1 + {c['IMG_OPS']} END AS L
+  FROM pops
+), pobjs AS (
+  SELECT doc_id, cls, p,
+    4 + 3 * p AS pid,
+    CASE WHEN cls = 7
+         THEN {c['FLATE_STREAM_BASE']}
+              + length(CAST(L + 11 + 5 * (L // 65535) AS VARCHAR))
+              + L + 11 + 5 * (L // 65535)
+         ELSE {c['RAW_STREAM_BASE']} + length(CAST(L AS VARCHAR)) + L
+    END AS content_obj,
+    {c['IMG_OBJ_BASE']}
+      + length(CAST({c['OCR_MAGIC']} + pb + 11
+                    + 5 * (({c['OCR_MAGIC']} + pb) // 65535) AS VARCHAR))
+      + {c['OCR_MAGIC']} + pb + 11 + 5 * (({c['OCR_MAGIC']} + pb) // 65535)
+      AS img_obj,
+    {c['PAGE_OBJ_BASE']}
+      + length(CAST(4 + 3 * p + 1 AS VARCHAR))
+      + length(CAST(4 + 3 * p + 2 AS VARCHAR)) AS page_obj
+  FROM pstreams
+), pdoc AS (
+  SELECT doc_id,
+    count(*) AS n_pages,
+    sum(page_obj + content_obj + img_obj
+        + 3 * ({c['WRAP_PRE']} + {c['WRAP_POST']})
+        + length(CAST(pid AS VARCHAR)) + length(CAST(pid + 1 AS VARCHAR))
+        + length(CAST(pid + 2 AS VARCHAR))) AS pages_bytes,
+    sum({c['KID_BASE']} + length(CAST(pid AS VARCHAR))) AS kids_refs
+  FROM pobjs GROUP BY doc_id
+), pdf_bytes AS (
+  SELECT doc_id,
+    CAST(
+      {c['HEADER']}
+      + 3 * ({c['WRAP_PRE']} + {c['WRAP_POST']} + 1)
+      + {c['OBJ1']} + {c['OBJ3']}
+      + {c['OBJ2_BASE']} + kids_refs + (n_pages - 1)
+        + length(CAST(n_pages AS VARCHAR))
+      + pages_bytes
+      + {c['XREF_BASE']} + length(CAST(4 + 3 * n_pages AS VARCHAR))
+      + {c['XREF_ROW']} * (4 + 3 * n_pages)
+      + {c['TRAILER_BASE']} + length(CAST(4 + 3 * n_pages AS VARCHAR))
+      + length(CAST(
+          {c['HEADER']} + 3 * ({c['WRAP_PRE']} + {c['WRAP_POST']} + 1)
+          + {c['OBJ1']} + {c['OBJ3']}
+          + {c['OBJ2_BASE']} + kids_refs + (n_pages - 1)
+          + length(CAST(n_pages AS VARCHAR))
+          + pages_bytes AS VARCHAR))
+    AS BIGINT) AS n_bytes
+  FROM pdoc
+), all_bytes AS (
+  SELECT n_bytes FROM html_bytes
+  UNION ALL SELECT n_bytes FROM junk_bytes
+  UNION ALL SELECT n_bytes FROM pdf_bytes
+)
+SELECT
+  CASE WHEN n_bytes < {cfg.size_small} THEN 's'
+       WHEN n_bytes < {cfg.size_medium} THEN 'm'
+       WHEN n_bytes < {cfg.size_large} THEN 'l'
+       ELSE 'xl' END AS size_class,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM all_bytes GROUP BY 1
+"""
+
+
+def _size_oracle_constants() -> dict:
+    """Every fixed byte count in SQL_SIZE_CLASS_COUNTS, derived from
+    the ACTUAL synth/pdfgen templates at import time — the oracle can't
+    drift from the generators. Digit-bearing fields are measured with
+    known-width placeholders and the placeholder widths subtracted."""
+    from .. import pdfgen
+    from ..sources import synth
+
+    c: dict[str, int] = {}
+    # --- html/junk ---
+    c["HTML_SIMPLE_BASE"] = len(synth.make_html_simple(1, "")) - 1
+    c["HTML_BOILER_BASE"] = len(synth.make_html_boiler(1, "")) - 1
+    c["HTML_MALFORMED_BASE"] = len(synth.make_html_malformed(1, ""))
+    # malformed template must not embed doc_id (no digit term in SQL)
+    assert len(synth.make_html_malformed(1, "")) == len(
+        synth.make_html_malformed(123456, "")
+    )
+    c["JUNK_LEN"] = len(synth.make_junk(0))
+    # --- pdf: per-line content-stream op bases (empty escaped text,
+    # y always 3 digits: <=8 lines/page at 60 words -> y >= 662) ---
+    assert pdfgen.TOP_Y - pdfgen.LEADING * 7 >= 100
+    y = pdfgen.TOP_Y
+    c["OP_SIMPLE"] = len(f"1 0 0 1 {pdfgen.LEFT_X} {y} Tm () Tj")
+    c["OP_SPLIT"] = len(f"1 0 0 1 {pdfgen.MID_X} {y} Tm () Tj") + len(
+        f"1 0 0 1 {pdfgen.LEFT_X} {y} Tm () Tj"
+    )
+    c["OP_TJ"] = len(f"1 0 0 1 {pdfgen.LEFT_X} {y} Tm [() -28 ()] TJ")
+    # BT + /F1 12 Tf + ET (joined lengths; separators counted via n_ops)
+    c["TL_FIXED"] = len(b"BT") + len(b"/F1 12 Tf") + len(b"ET")
+    c["TL_EMPTY"] = len(pdfgen._text_layer_ops(""))
+    c["IMG_OPS"] = len(pdfgen._image_ops())
+    c["OCR_MAGIC"] = len(pdfgen.OCR_MAGIC)
+    # --- pdf: object bodies (digit fields measured with 1-digit
+    # placeholders, then subtracted) ---
+    c["RAW_STREAM_BASE"] = (
+        len(b"<< /Length %d >>\nstream\n" % 0) + len(b"\nendstream") - 1
+    )
+    c["FLATE_STREAM_BASE"] = (
+        len(b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % 0)
+        + len(b"\nendstream")
+        - 1
+    )
+    c["IMG_OBJ_BASE"] = (
+        len(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (pdfgen.PAGE_W, pdfgen.PAGE_H, 0)
+        )
+        + len(b"\nendstream")
+        - 1
+    )
+    page_obj = (
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {pdfgen.PAGE_W} "
+        f"{pdfgen.PAGE_H}] /Resources << /Font << /F1 3 0 R >> "
+        f"/XObject << /Im0 1 0 R >> >> /Contents 1 0 R >>"
+    )
+    c["PAGE_OBJ_BASE"] = len(page_obj) - 2  # minus cid+iid placeholder digits
+    c["OBJ1"] = len(b"<< /Type /Catalog /Pages 2 0 R >>")
+    c["OBJ2_BASE"] = len("<< /Type /Pages /Kids [] /Count  >>")
+    c["KID_BASE"] = len(" 0 R")  # + digits(pid); ' ' separators via n-1
+    c["OBJ3"] = len(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    c["WRAP_PRE"] = len(b" 0 obj\n")  # + digits(num)
+    c["WRAP_POST"] = len(b"\nendobj\n")
+    c["HEADER"] = len(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    c["XREF_BASE"] = len(b"xref\n0 \n")  # + digits(size)
+    c["XREF_ROW"] = len(b"0000000000 65535 f \n")
+    c["TRAILER_BASE"] = (
+        len(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (0, 0))
+        - 2
+    )
+    c["WORDS_PER_PAGE"] = WORDS_PER_PAGE
+    c["WORDS_PER_LINE"] = pdfgen.WORDS_PER_LINE
+    assert pdfgen.ZLIB_LEVEL == 0, "oracle requires stored-block streams"
+    return c
+
+
+SQL_SIZE_CLASS_COUNTS = _size_oracle_sql()
 
 
 # --------------------------------------------------- sentence pipeline
@@ -2771,10 +3007,29 @@ FROM bytes
 
 # ------------------------------------------- embedding-cosine near-dup
 
+# All-pairs embedding scoring is O(corpus) driver memory and O(n²)
+# compute BY CONSTRUCTION — it exists as the small-scale oracle twin of
+# the LSH-bucketed path. The guard keeps a user from pointing it at a
+# real corpus by accident.
+EMBEDDING_ALL_PAIRS_MAX_ROWS = 100_000
+
+
 def q_embedding_near_dups(sf_dir: str):
     """All candidate pairs with cosine >= 0.1 (blocked matmul per batch
-    against the broadcast candidate matrix; the LSH-bucketed variant is
-    the scale path — lsh_topk)."""
+    against the broadcast candidate matrix). This is the ORACLE TWIN of
+    the scale path: it broadcasts the full normalized matrix and scores
+    n² pairs, so it refuses inputs beyond
+    EMBEDDING_ALL_PAIRS_MAX_ROWS — use ``embedding_near_dups_lsh``
+    (per-bucket matmul, compute = Σ|bucket|²) for real corpora."""
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows > EMBEDDING_ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dups is the all-pairs oracle twin "
+            f"(O(n²) compute, full-matrix broadcast) and refuses "
+            f"{n_rows} rows (> {EMBEDDING_ALL_PAIRS_MAX_ROWS}); use "
+            f"embedding_near_dups_lsh — the LSH-bucketed scale path "
+            f"with the same threshold and rounding."
+        )
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     import numpy as np
 
@@ -2981,6 +3236,7 @@ ORACLE_SQL = {
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "event_props": SQL_EVENT_PROPS,
+    "size_class_counts": SQL_SIZE_CLASS_COUNTS,
     "chunk_pages": SQL_CHUNK_PAGES,
     "longest_docs": SQL_LONGEST_DOCS,
     "sentence_split": SQL_SENTENCE_SPLIT,

@@ -171,7 +171,9 @@ def test_cli_query_and_export_paths(tmp_path):
     assert out.returncode == 0
     listed = dict(l.split("\t") for l in out.stdout.strip().splitlines())
     assert listed["extract_e2e"] == "sql"
-    assert listed["size_class_counts"] == "rows-only"
+    # round 3: the byte-accounting oracle closed the last rows-only slot
+    assert listed["size_class_counts"] == "sql"
+    assert "rows-only" not in listed.values()
 
     qdir = str(tmp_path / "q")
     out = subprocess.run(

@@ -33,6 +33,19 @@ def test_round_trip_dual_layer(flate):
     assert all(len(g) == len(p) for g, p in zip(got, pages))
 
 
+def test_round_trip_real_deflate_level6():
+    """The synth corpus uses stored-block zlib (level 0, pdfgen
+    ZLIB_LEVEL) for byte-accounting oracles; the parser must still
+    inflate genuinely COMPRESSED FlateDecode streams — real-world PDFs
+    aren't stored-block."""
+    text = " ".join(f"tok{i}" for i in range(150))
+    pages = paginate(text, 60)
+    data = build_pdf(pages, flate=True, zlevel=6)
+    assert len(data) < len(build_pdf(pages, flate=True, zlevel=0))
+    recs = parse_pdf(data)
+    assert [g.replace("\n", " ") for g in _join_pages(recs)] == pages
+
+
 def test_page_order_and_numbers():
     pages = [" ".join(f"p{k}w{i}" for i in range(70)) for k in range(5)]
     recs = parse_pdf(build_pdf(pages))

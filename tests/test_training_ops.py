@@ -191,7 +191,10 @@ def test_rows_only_queries_are_deterministic(sf_dir):
     from pdf_to_text_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
-    assert rows_only  # the set exists and is covered here
+    # round 3 closed the last no_oracle query (size_class_counts byte
+    # reconstruction) — every registered query now has a SQL oracle;
+    # any future rows-only addition still gets the determinism check
+    assert rows_only == []
     for name in rows_only:
         a = sorted(map(repr, QUERIES[name](sf_dir).take_all()))
         b = sorted(map(repr, QUERIES[name](sf_dir).take_all()))
@@ -213,6 +216,44 @@ def test_embedding_lsh_pairs_subset_of_all_pairs(sf_dir):
     assert set(lsh) < set(full)  # strict subset: pruning really happened
     for k, sim in lsh.items():
         assert full[k] == sim
+
+
+def test_embedding_all_pairs_guard_refuses_large_input(tmp_path, sf_dir):
+    """The all-pairs oracle twin must refuse a corpus beyond its row
+    budget (pointing at the LSH scale path) while staying green at
+    test scale. The guard reads only parquet FOOTER metadata, so the
+    amplified table is built with a small row-group stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+    import pytest as _pytest
+
+    from pdf_to_text_ray.pipelines import queries as q
+
+    big_dir = tmp_path / "bigsf"
+    big_dir.mkdir()
+    n = q.EMBEDDING_ALL_PAIRS_MAX_ROWS + 1
+    writer = None
+    chunk = 50_000
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(lo, hi), pa.int64()),
+                "embedding": pa.array(
+                    [[0.0] * 4] * (hi - lo), pa.list_(pa.float32())
+                ),
+            }
+        )
+        if writer is None:
+            writer = pq_mod.ParquetWriter(
+                str(big_dir / "embeddings.parquet"), t.schema
+            )
+        writer.write_table(t)
+    writer.close()
+    with _pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        q.q_embedding_near_dups(str(big_dir))
+    # and the twin still runs at test scale
+    assert q.q_embedding_near_dups(sf_dir).count() > 0
 
 
 def test_minhash_engine_matches_sql_oracle_at_borderline_jaccard(tmp_path):
