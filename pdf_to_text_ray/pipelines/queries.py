@@ -2377,6 +2377,53 @@ FROM c
 """
 
 
+def q_blueprint_generate(sf_dir: str):
+    """Blueprint GENERATION + UPDATE stand-in
+    (core_document_generator.py:264-321 generate_initial_structure,
+    :323-366 update_structure — the LLM calls quarantined per SURVEY
+    §7.7, closed deterministically the same way M11 was): markdown
+    structure -> initial [{"title", "content": [...]}] JSON, then the
+    fixed update instruction "append a summary slide" applied to the
+    structure. The SQL oracle rebuilds both exact JSON strings."""
+    from ..stages.markdown import generate_blueprint_batch
+
+    return _read_documents(sf_dir).map_batches(
+        generate_blueprint_batch, batch_format="pyarrow"
+    )
+
+
+SQL_BLUEPRINT_GENERATE = _SQL_MD_LINES + r"""
+, vals AS (
+  SELECT doc_id, c, c // 6 AS s,
+    replace(replace(CASE c % 6 WHEN 4 THEN first_word ELSE line END,
+                    '\', '\\'), '"', '\"') AS v
+  FROM lines
+), slides AS (
+  SELECT doc_id, s,
+    '{"title": "Section ' || CAST(s + 1 AS VARCHAR) || '", "content": ['
+      || COALESCE(string_agg('"' || v || '"', ', ' ORDER BY c), '')
+      || ']}' AS slide_json
+  FROM vals GROUP BY doc_id, s
+), perdoc AS (
+  SELECT doc_id,
+    '[' || string_agg(slide_json, ', ' ORDER BY s) || ']' AS blueprint,
+    CAST(count(*) AS BIGINT) AS n_slides
+  FROM slides GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.blueprint, '[]') AS blueprint,
+  CASE WHEN p.doc_id IS NULL
+       THEN '[{"title": "Summary", "content": ["Sections: 0"]}]'
+       ELSE substr(p.blueprint, 1, length(p.blueprint) - 1)
+            || ', {"title": "Summary", "content": ["Sections: '
+            || CAST(p.n_slides AS VARCHAR) || '"]}]' END
+    AS blueprint_updated,
+  CAST(COALESCE(p.n_slides, 0) AS BIGINT) AS n_slides,
+  CAST(strlen(COALESCE(p.blueprint, '[]')) AS BIGINT) AS n_bytes
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+
 def q_chart_parse(sf_dir: str):
     """Chart-string grammar parse (pptx_designer.py:131-153): one row
     per parsed data point, junk values -> 0.0, no-colon parts
@@ -3135,6 +3182,8 @@ QUERIES = {
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
     "media_features": q_media_features,
+    # --- round-3 additions (also inside the checked prefix) ---
+    "blueprint_generate": q_blueprint_generate,
     # --- flagship + extraction path ---
     "extract_e2e": q_extract_e2e,
     "extraction_metrics": q_extraction_metrics,
@@ -3245,6 +3294,7 @@ ORACLE_SQL = {
     "slide_windows": SQL_SLIDE_WINDOWS,
     "markdown_report": SQL_MARKDOWN_REPORT,
     "blueprint_validate": SQL_BLUEPRINT_VALIDATE,
+    "blueprint_generate": SQL_BLUEPRINT_GENERATE,
     "chart_parse": SQL_CHART_PARSE,
     "render_outputs": SQL_RENDER_OUTPUTS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,

@@ -248,6 +248,54 @@ def validate_blueprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --------------------------------- blueprint generation + update stand-in
+
+def generate_blueprint(text: str) -> tuple[str, str, int]:
+    """Deterministic stand-in for the reference's LLM blueprint
+    generation and update (core_document_generator.py:264-321
+    ``generate_initial_structure``, :323-366 ``update_structure`` —
+    quarantined LLM calls per SURVEY §7.7, closed the same way M11
+    was): the parsed markdown structure becomes the initial
+    ``[{"title", "content": [...]}]`` blueprint, and the update applies
+    a fixed instruction ("append a summary slide") to the structure.
+
+    -> (blueprint_json, updated_json, n_slides). ensure_ascii=False so
+    non-ASCII stays raw UTF-8 and the SQL oracle can rebuild the exact
+    string (no \\uXXXX escapes)."""
+    slides: list[dict] = []
+    for _, slide_no, kind, _, content in parse_markdown(synth_markdown(text)):
+        if kind in ("h1", "h2", "h3"):
+            slides.append({"title": content, "content": []})
+        elif slides:
+            slides[-1]["content"].append(content)
+    blueprint = json.dumps(slides, ensure_ascii=False)
+    updated = json.dumps(
+        slides + [{"title": "Summary", "content": [f"Sections: {len(slides)}"]}],
+        ensure_ascii=False,
+    )
+    return blueprint, updated, len(slides)
+
+
+def generate_blueprint_batch(batch: pa.Table) -> pa.Table:
+    doc_ids, bps, ups, ns, nb = [], [], [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        bp, up, n = generate_blueprint(text)
+        doc_ids.append(did)
+        bps.append(bp)
+        ups.append(up)
+        ns.append(n)
+        nb.append(len(bp.encode("utf-8")))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "blueprint": pa.array(bps, pa.string()),
+            "blueprint_updated": pa.array(ups, pa.string()),
+            "n_slides": pa.array(ns, pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------- chart-string parse M16
 
 _RE_CHART_CLEAN = re.compile(r"[^\d.]")

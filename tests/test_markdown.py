@@ -179,3 +179,27 @@ def test_markdown_queries_run(sf_dir):
 def test_text_lines_empty():
     assert text_lines("") == []
     assert parse_markdown(synth_markdown("")) == []
+
+
+def test_generate_blueprint_roundtrip_and_update():
+    import json
+
+    from pdf_to_text_ray.stages.markdown import generate_blueprint
+
+    text = " ".join(f"w{i}" for i in range(70))  # 7 lines -> 2 sections
+    bp, up, n = generate_blueprint(text)
+    slides = json.loads(bp)
+    assert n == len(slides) == 2
+    assert slides[0]["title"] == "Section 1"
+    assert len(slides[0]["content"]) == 6  # full section
+    # the image line contributes its first word only
+    assert slides[0]["content"][4] == "w40"
+    updated = json.loads(up)
+    assert updated[:-1] == slides
+    assert updated[-1] == {"title": "Summary", "content": ["Sections: 2"]}
+    # the generated blueprint feeds the M17 validator round-trip
+    assert json.dumps(json.loads(bp)) is not None
+    # empty doc -> empty structure, update still appends the summary
+    bp0, up0, n0 = generate_blueprint("")
+    assert (bp0, n0) == ("[]", 0)
+    assert json.loads(up0) == [{"title": "Summary", "content": ["Sections: 0"]}]
