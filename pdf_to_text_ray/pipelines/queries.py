@@ -2424,6 +2424,47 @@ FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 """
 
 
+def q_render_pptx_styled(sf_dir: str):
+    """Themed + charted PPTX render (pptx_designer.py:14-51 themes,
+    :131-175 chart insertion, :177-370 create_pptx_with_style): theme
+    keyed by doc_id, one synthetic [CHART: ...] line appended to the
+    markdown; every chart becomes a real c:chartSpace part wired via a
+    graphicFrame. Package bytes are pytest-validated (container, chart
+    XML, theme colors); the SQL oracle checks the structural counts."""
+    from ..sinks.render import render_pptx_styled_batch
+
+    ds = _read_documents(sf_dir).map_batches(
+        render_pptx_styled_batch, batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(
+        ["doc_id", "theme", "n_slides", "n_charts", "n_chart_points"]
+    )
+
+
+SQL_RENDER_PPTX_STYLED = """
+WITH n AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '\\S+')) AS n_words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN n_words = 0 THEN 0
+         ELSE ((n_words + 9) // 10 + 5) // 6 END AS n_sections
+  FROM n
+)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'default'
+                  WHEN 1 THEN 'dark'
+                  ELSE 'corporate' END AS theme,
+  CAST(CASE WHEN n_sections = 0 THEN 1 ELSE n_sections END AS BIGINT)
+    AS n_slides,
+  CAST(CASE WHEN n_sections = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_charts,
+  CAST(CASE WHEN n_sections = 0 THEN 0 ELSE 3 END AS BIGINT)
+    AS n_chart_points
+FROM s
+"""
+
+
 def q_chart_parse(sf_dir: str):
     """Chart-string grammar parse (pptx_designer.py:131-153): one row
     per parsed data point, junk values -> 0.0, no-colon parts
@@ -3184,6 +3225,7 @@ QUERIES = {
     "media_features": q_media_features,
     # --- round-3 additions (also inside the checked prefix) ---
     "blueprint_generate": q_blueprint_generate,
+    "render_pptx_styled": q_render_pptx_styled,
     # --- flagship + extraction path ---
     "extract_e2e": q_extract_e2e,
     "extraction_metrics": q_extraction_metrics,
@@ -3295,6 +3337,7 @@ ORACLE_SQL = {
     "markdown_report": SQL_MARKDOWN_REPORT,
     "blueprint_validate": SQL_BLUEPRINT_VALIDATE,
     "blueprint_generate": SQL_BLUEPRINT_GENERATE,
+    "render_pptx_styled": SQL_RENDER_PPTX_STYLED,
     "chart_parse": SQL_CHART_PARSE,
     "render_outputs": SQL_RENDER_OUTPUTS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,

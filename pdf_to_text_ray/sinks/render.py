@@ -256,6 +256,7 @@ def render_docx_from_markdown(md: str) -> tuple[bytes, int, int, int]:
 
 _A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
 _P_NS = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_C_NS = "http://schemas.openxmlformats.org/drawingml/2006/chart"
 _PPTX_XMLNS = (
     f'xmlns:a="{_A_NS}" xmlns:r="{_REL_OFFDOC.rsplit("/relationships", 1)[0]}'
     f'/relationships" xmlns:p="{_P_NS}"'
@@ -324,23 +325,81 @@ _PPTX_THEME = (
 )
 
 
-def _pptx_slide_xml(title: str, paras: list[tuple[int, str, bool]]) -> str:
+# pptx_designer.py:14-51: named theme dicts driving slide colors and
+# fonts. Same SHAPE as the reference's THEMES (the mechanism — a
+# dict-selected palette injected into slide XML — is the reproduced
+# surface; the palette values themselves are neutral placeholders).
+PPTX_THEMES: dict[str, dict[str, str]] = {
+    "default": {
+        "bg": "FFFFFF", "title": "1F2937", "body": "374151",
+        "accent": "4472C4", "font": "Calibri",
+    },
+    "dark": {
+        "bg": "111827", "title": "F9FAFB", "body": "D1D5DB",
+        "accent": "60A5FA", "font": "Calibri",
+    },
+    "corporate": {
+        "bg": "F3F4F6", "title": "0C4A6E", "body": "1F2937",
+        "accent": "0EA5E9", "font": "Georgia",
+    },
+}
+
+
+def _pptx_slide_xml(
+    title: str,
+    paras: list[tuple[int, str, bool]],
+    theme: dict[str, str] | None = None,
+    n_charts: int = 0,
+) -> str:
     """One slide: title placeholder + body placeholder. ``paras`` is
-    [(level, text, bold)]."""
+    [(level, text, bold)]. With ``theme``, the background fill and run
+    colors/fonts come from the palette (pptx_designer.py:14-51
+    mechanism); ``n_charts`` graphicFrames reference chart parts wired
+    as rId2.. in the slide rels."""
+
+    def rpr(bold: bool, color_key: str) -> str:
+        if theme is None:
+            return '<a:rPr b="1"/>' if bold else ""
+        return (
+            "<a:rPr" + (' b="1"' if bold else "") + ">"
+            f'<a:solidFill><a:srgbClr val="{theme[color_key]}"/></a:solidFill>'
+            f'<a:latin typeface="{theme["font"]}"/></a:rPr>'
+        )
+
     body_paras = (
         "".join(
             "<a:p>"
             + (f'<a:pPr lvl="{lvl}"/>' if lvl else "")
             + "<a:r>"
-            + ('<a:rPr b="1"/>' if bold else "")
+            + rpr(bold, "body")
             + f"<a:t>{_xml_escape(text)}</a:t></a:r></a:p>"
             for lvl, text, bold in paras
         )
         or "<a:p/>"
     )
+    bg = (
+        (
+            "<p:bg><p:bgPr><a:solidFill>"
+            f'<a:srgbClr val="{theme["bg"]}"/></a:solidFill>'
+            "<a:effectLst/></p:bgPr></p:bg>"
+        )
+        if theme is not None
+        else ""
+    )
+    frames = "".join(
+        "<p:graphicFrame><p:nvGraphicFramePr>"
+        f'<p:cNvPr id="{4 + k}" name="Chart {k + 1}"/>'
+        "<p:cNvGraphicFramePr/><p:nvPr/></p:nvGraphicFramePr>"
+        '<p:xfrm><a:off x="838200" y="1825625"/>'
+        '<a:ext cx="10515600" cy="4351338"/></p:xfrm>'
+        f'<a:graphic><a:graphicData uri="{_C_NS}">'
+        f'<c:chart xmlns:c="{_C_NS}" r:id="rId{2 + k}"/>'
+        "</a:graphicData></a:graphic></p:graphicFrame>"
+        for k in range(n_charts)
+    )
     return (
         _XMLDECL
-        + f"<p:sld {_PPTX_XMLNS}><p:cSld><p:spTree>"
+        + f"<p:sld {_PPTX_XMLNS}><p:cSld>" + bg + "<p:spTree>"
         "<p:nvGrpSpPr>"
         '<p:cNvPr id="1" name=""/><p:cNvGrpSpPr/><p:nvPr/>'
         "</p:nvGrpSpPr><p:grpSpPr/>"
@@ -348,7 +407,8 @@ def _pptx_slide_xml(title: str, paras: list[tuple[int, str, bool]]) -> str:
         '<p:cNvPr id="2" name="Title 1"/><p:cNvSpPr/>'
         '<p:nvPr><p:ph type="title"/></p:nvPr>'
         "</p:nvSpPr><p:spPr/><p:txBody><a:bodyPr/>"
-        f"<a:p><a:r><a:t>{_xml_escape(title)}</a:t></a:r></a:p>"
+        f"<a:p><a:r>{rpr(True, 'title') if theme else ''}"
+        f"<a:t>{_xml_escape(title)}</a:t></a:r></a:p>"
         "</p:txBody></p:sp>"
         "<p:sp><p:nvSpPr>"
         '<p:cNvPr id="3" name="Content 2"/><p:cNvSpPr/>'
@@ -356,7 +416,8 @@ def _pptx_slide_xml(title: str, paras: list[tuple[int, str, bool]]) -> str:
         "</p:nvSpPr><p:spPr/><p:txBody><a:bodyPr/>"
         + body_paras
         + "</p:txBody></p:sp>"
-        "</p:spTree></p:cSld>"
+        + frames
+        + "</p:spTree></p:cSld>"
         "<p:clrMapOvr><a:masterClrMapping/></p:clrMapOvr></p:sld>"
     )
 
@@ -369,8 +430,99 @@ _SLIDE_RELS = (
 )
 
 
-def _pptx_package(slides: list[tuple[str, list[tuple[int, str, bool]]]]) -> bytes:
+def _slide_rels_with_charts(chart_part_nos: list[int]) -> str:
+    """Slide rels: layout + one chart relationship per referenced
+    chart part (rId2.. in graphicFrame order)."""
+    rels = "".join(
+        f'<Relationship Id="rId{2 + k}" Type="{_REL_OFFDOC}/chart" '
+        f'Target="../charts/chart{no}.xml"/>'
+        for k, no in enumerate(chart_part_nos)
+    )
+    return (
+        _XMLDECL
+        + f'<Relationships xmlns="{_REL_NS}">'
+        f'<Relationship Id="rId1" Type="{_REL_OFFDOC}/slideLayout" Target="../slideLayouts/slideLayout1.xml"/>'
+        + rels
+        + "</Relationships>"
+    )
+
+
+def _chart_part_xml(
+    title: str,
+    series: str,
+    points: list[tuple[str, float]],
+    accent: str,
+) -> str:
+    """A real OOXML bar-chart part (c:chartSpace / c:barChart / c:ser
+    with cached categories and values) — the deterministic analogue of
+    pptx_designer.py:131-175's chart insertion. Values render via
+    repr(float) so the part is byte-deterministic."""
+    n = len(points)
+    cats = "".join(
+        f'<c:pt idx="{i}"><c:v>{_xml_escape(c)}</c:v></c:pt>'
+        for i, (c, _) in enumerate(points)
+    )
+    vals = "".join(
+        f'<c:pt idx="{i}"><c:v>{v!r}</c:v></c:pt>'
+        for i, (_, v) in enumerate(points)
+    )
+    return (
+        _XMLDECL
+        + f'<c:chartSpace xmlns:c="{_C_NS}" xmlns:a="{_A_NS}" '
+        f'xmlns:r="{_REL_OFFDOC.rsplit("/relationships", 1)[0]}/relationships">'
+        "<c:chart><c:title><c:tx><c:rich><a:bodyPr/><a:lstStyle/>"
+        f"<a:p><a:r><a:t>{_xml_escape(title)}</a:t></a:r></a:p>"
+        "</c:rich></c:tx><c:overlay val=\"0\"/></c:title>"
+        "<c:plotArea><c:layout/>"
+        '<c:barChart><c:barDir val="col"/><c:grouping val="clustered"/>'
+        '<c:varyColors val="0"/>'
+        '<c:ser><c:idx val="0"/><c:order val="0"/>'
+        "<c:tx><c:strRef><c:f>Sheet1!$B$1</c:f><c:strCache>"
+        '<c:ptCount val="1"/><c:pt idx="0">'
+        f"<c:v>{_xml_escape(series)}</c:v></c:pt></c:strCache></c:strRef></c:tx>"
+        "<c:spPr><a:solidFill>"
+        f'<a:srgbClr val="{accent}"/></a:solidFill></c:spPr>'
+        "<c:cat><c:strRef><c:f>Sheet1!$A$2:$A${}</c:f><c:strCache>".replace(
+            "{}", str(n + 1)
+        )
+        + f'<c:ptCount val="{n}"/>' + cats + "</c:strCache></c:strRef></c:cat>"
+        "<c:val><c:numRef><c:f>Sheet1!$B$2:$B${}</c:f><c:numCache>".replace(
+            "{}", str(n + 1)
+        )
+        + f'<c:ptCount val="{n}"/>' + vals + "</c:numCache></c:numRef></c:val>"
+        "</c:ser>"
+        '<c:axId val="111111111"/><c:axId val="222222222"/></c:barChart>'
+        '<c:catAx><c:axId val="111111111"/>'
+        '<c:scaling><c:orientation val="minMax"/></c:scaling>'
+        '<c:delete val="0"/><c:axPos val="b"/>'
+        '<c:crossAx val="222222222"/></c:catAx>'
+        '<c:valAx><c:axId val="222222222"/>'
+        '<c:scaling><c:orientation val="minMax"/></c:scaling>'
+        '<c:delete val="0"/><c:axPos val="l"/>'
+        '<c:crossAx val="111111111"/></c:valAx>'
+        "</c:plotArea><c:plotVisOnly val=\"1\"/></c:chart></c:chartSpace>"
+    )
+
+
+def _pptx_package(
+    slides: list[tuple[str, list[tuple[int, str, bool]]]],
+    theme: dict[str, str] | None = None,
+    slide_charts: list[list[tuple[str, str, list[tuple[str, float]]]]] | None = None,
+) -> bytes:
+    """OPC package. ``slide_charts`` (parallel to ``slides``) carries
+    per-slide parsed chart tuples (title, series, points); each becomes
+    a real chart part wired through slide rels + content types."""
     n = len(slides)
+    if slide_charts is None:
+        slide_charts = [[] for _ in range(n)]
+    # global chart part numbering in slide order
+    chart_nos: list[list[int]] = []
+    next_no = 1
+    for charts in slide_charts:
+        nos = list(range(next_no, next_no + len(charts)))
+        chart_nos.append(nos)
+        next_no += len(charts)
+    total_charts = next_no - 1
     ct = (
         _XMLDECL
         + f'<Types xmlns="{_CT_NS}">'
@@ -383,6 +535,10 @@ def _pptx_package(slides: list[tuple[str, list[tuple[int, str, bool]]]]) -> byte
         + "".join(
             f'<Override PartName="/ppt/slides/slide{i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
             for i in range(n)
+        )
+        + "".join(
+            f'<Override PartName="/ppt/charts/chart{k + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.drawingml.chart+xml"/>'
+            for k in range(total_charts)
         )
         + "</Types>"
     )
@@ -441,9 +597,28 @@ def _pptx_package(slides: list[tuple[str, list[tuple[int, str, bool]]]]) -> byte
         ("ppt/slideLayouts/_rels/slideLayout1.xml.rels", layout_rels),
         ("ppt/theme/theme1.xml", _PPTX_THEME),
     ]
+    accent = (theme or PPTX_THEMES["default"])["accent"]
     for i, (title, paras) in enumerate(slides):
-        parts.append((f"ppt/slides/slide{i + 1}.xml", _pptx_slide_xml(title, paras)))
-        parts.append((f"ppt/slides/_rels/slide{i + 1}.xml.rels", _SLIDE_RELS))
+        charts = slide_charts[i]
+        parts.append(
+            (
+                f"ppt/slides/slide{i + 1}.xml",
+                _pptx_slide_xml(title, paras, theme, len(charts)),
+            )
+        )
+        parts.append(
+            (
+                f"ppt/slides/_rels/slide{i + 1}.xml.rels",
+                _slide_rels_with_charts(chart_nos[i]) if charts else _SLIDE_RELS,
+            )
+        )
+        for no, (ctitle, cseries, pts) in zip(chart_nos[i], charts):
+            parts.append(
+                (
+                    f"ppt/charts/chart{no}.xml",
+                    _chart_part_xml(ctitle, cseries, pts, accent),
+                )
+            )
     return _zip_bytes(parts)
 
 
@@ -512,6 +687,101 @@ def render_pptx_from_markdown(md: str) -> tuple[bytes, int, int]:
                 paras.append((0, line, False))
         slides.append((title, paras))
     return _pptx_package(slides), len(slides), n_images
+
+
+_RE_CHART = re.compile(r"\[CHART:\s*(.+?)\]", re.IGNORECASE)
+
+
+def render_pptx_with_style(
+    md: str, theme_name: str
+) -> tuple[bytes, int, int, int]:
+    """``create_pptx_with_style`` semantics (pptx_designer.py:177-370
+    with the :14-51 theme dict and :131-175 chart insertion): markdown
+    slides as in render_pptx_from_markdown, but runs/backgrounds carry
+    the named theme's palette and every ``[CHART: <grammar>]`` line
+    becomes a REAL bar-chart part (c:chartSpace) wired into its slide
+    via a graphicFrame. Unparseable chart strings (< 3 comma parts)
+    are dropped like the reference's failure path.
+
+    Returns (bytes, n_slides, n_charts, n_chart_points)."""
+    from ..stages.markdown import parse_chart_string
+
+    theme = PPTX_THEMES[theme_name]
+    blocks = [s.strip() for s in _RE_SLIDE_SPLIT.split(md) if s.strip()]
+    slides: list[tuple[str, list[tuple[int, str, bool]]]] = []
+    slide_charts: list[list[tuple[str, str, list[tuple[str, float]]]]] = []
+    n_charts = n_points = 0
+    for block in blocks:
+        lines = block.split("\n")
+        title_line = lines[0].strip()
+        m = _RE_TITLE.match(title_line)
+        title = m.group(2).strip() if m else title_line
+        paras: list[tuple[int, str, bool]] = []
+        charts: list[tuple[str, str, list[tuple[str, float]]]] = []
+        for raw in lines[1:]:
+            line = raw.strip()
+            if not line:
+                continue
+            chart = _RE_CHART.search(line)
+            if chart:
+                parsed = parse_chart_string(chart.group(1))
+                if parsed is not None:
+                    charts.append(parsed)
+                    n_charts += 1
+                    n_points += len(parsed[2])
+                continue
+            img = _RE_IMAGE.search(line)
+            if img:
+                paras.append((0, f"🖼️ [PROMPT: {img.group(1).strip()}]", True))
+            elif _RE_BULLET0.match(line):
+                paras.append((0, _RE_BULLET0.sub("", line).strip(), False))
+            elif _RE_BULLET1.match(line):
+                paras.append((1, line.lstrip("*•- \t").strip(), False))
+            elif line.startswith("###"):
+                paras.append((0, line.lstrip("#").strip(), True))
+            else:
+                paras.append((0, line, False))
+        slides.append((title, paras))
+        slide_charts.append(charts)
+    if not slides:  # chart-only / empty markdown still yields one slide
+        slides, slide_charts = [("Content", [])], [[]]
+    data = _pptx_package(slides, theme, slide_charts)
+    return data, len(slides), n_charts, n_points
+
+
+def render_pptx_styled_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> themed+charted PPTX bytes and the structural
+    counts (theme keyed by doc_id, one synthetic chart line appended to
+    the markdown — the chart_parse construction-oracle pattern)."""
+    from ..stages.markdown import synth_chart_string, synth_markdown
+
+    names = list(PPTX_THEMES)
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    themes, blobs, n_slides, n_charts, n_points, n_bytes = (
+        [], [], [], [], [], [],
+    )
+    for did, text in zip(ids, texts):
+        theme = names[did % len(names)]
+        md = synth_markdown(text) + f"\n[CHART: {synth_chart_string(did)}]"
+        data, ns, nc, np_ = render_pptx_with_style(md, theme)
+        themes.append(theme)
+        blobs.append(data)
+        n_slides.append(ns)
+        n_charts.append(nc)
+        n_points.append(np_)
+        n_bytes.append(len(data))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "theme": pa.array(themes, pa.string()),
+            "pptx": pa.array(blobs, pa.binary()),
+            "n_slides": pa.array(n_slides, pa.int64()),
+            "n_charts": pa.array(n_charts, pa.int64()),
+            "n_chart_points": pa.array(n_points, pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+        }
+    )
 
 
 # ------------------------------------------------- Ray Data surface

@@ -197,6 +197,65 @@ def test_pptx_markdown_semantics():
     assert n3 == 2
 
 
+def test_pptx_styled_theme_and_chart_part():
+    from pdf_to_text_ray.sinks.render import (
+        PPTX_THEMES,
+        render_pptx_with_style,
+    )
+
+    md = (
+        "# Sales\nintro line\n"
+        "[CHART: Revenue 2026, Series A, Q1:$10.5, Q2:20, Bad:n/a, skipme]\n"
+        "\n## Outlook\nmore text"
+    )
+    blob, n_slides, n_charts, n_points = render_pptx_with_style(md, "dark")
+    assert (n_slides, n_charts, n_points) == (2, 1, 3)
+    parts = _zip_parts(blob)
+    # chart part exists, is well-formed, and carries the parsed data
+    chart = parts["ppt/charts/chart1.xml"].decode()
+    root = ET.fromstring(chart)
+    cns = "{http://schemas.openxmlformats.org/drawingml/2006/chart}"
+    cats = [
+        e.text
+        for e in root.iter(f"{cns}v")
+    ]
+    assert "Revenue 2026" in chart and "Series A" in chart
+    assert {"Q1", "Q2", "Bad"} <= set(cats)
+    assert {"10.5", "20.0", "0.0"} <= set(cats)
+    # slide 1 references the chart through its rels + a graphicFrame
+    rels = parts["ppt/slides/_rels/slide1.xml.rels"].decode()
+    assert "../charts/chart1.xml" in rels
+    slide1 = parts["ppt/slides/slide1.xml"].decode()
+    assert "<p:graphicFrame>" in slide1 and 'r:id="rId2"' in slide1
+    # theme palette applied: background + run colors + font
+    theme = PPTX_THEMES["dark"]
+    assert f'<a:srgbClr val="{theme["bg"]}"/>' in slide1
+    assert f'<a:srgbClr val="{theme["title"]}"/>' in slide1
+    assert f'<a:latin typeface="{theme["font"]}"/>' in slide1
+    # chart bars take the theme accent
+    assert f'<a:srgbClr val="{theme["accent"]}"/>' in chart
+    # content types declare the chart part; slide 2 has no chart
+    assert "drawingml.chart+xml" in parts["[Content_Types].xml"].decode()
+    assert "ppt/charts/chart2.xml" not in parts
+    assert b"<p:graphicFrame>" not in parts["ppt/slides/slide2.xml"]
+    # deterministic bytes
+    blob2, *_ = render_pptx_with_style(md, "dark")
+    assert blob == blob2
+    # unparseable chart string (< 3 comma parts) drops like the
+    # reference's failure path
+    _, _, nc, np_ = render_pptx_with_style("# T\n[CHART: only, two]", "default")
+    assert (nc, np_) == (0, 0)
+
+
+def test_pptx_unstyled_bytes_unchanged_by_theme_plumbing():
+    # the theme/chart extension must not perturb the un-themed render
+    blob, *_ = render_pptx_from_markdown("# A\nbody\n* b")
+    parts = _zip_parts(blob)
+    assert b"<p:bg>" not in parts["ppt/slides/slide1.xml"]
+    assert b"graphicFrame" not in parts["ppt/slides/slide1.xml"]
+    assert b"chart" not in parts["[Content_Types].xml"]
+
+
 # ---------------------------------------------------------- determinism
 
 def test_renders_are_byte_deterministic():
