@@ -17,6 +17,7 @@ reproduces the batch path's lexicographic filename-sort quirk
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 EXTRACTED_COLUMNS = [
     "url", "text", "doc_type", "lang", "n_pages", "n_chars",
@@ -81,6 +82,108 @@ def make_finalizer(page_separator: str = "\n", order: str = "numeric"):
         return out.astype(
             {"n_pages": "int32", "n_chars": "int64",
              "parse_failures": "int32", "partition_id": "int32"}
+        )
+
+    return finalize
+
+
+def make_finalizer_arrow(page_separator: str = "\n", order: str = "numeric"):
+    """Arrow-native twin of :func:`make_finalizer` for the fused
+    doc-extractor path (``map_batches(batch_format="pyarrow")``): the
+    batch never round-trips through pandas, so the hottest stage stays
+    zero-copy end to end. Byte-identical output is pinned by
+    tests/test_extract.py::test_arrow_finalizer_matches_pandas.
+
+    The pandas version remains the ``map_groups`` shuffle-path combine
+    (Ray hands groups to ``map_groups`` as pandas frames).
+    """
+    import pyarrow.compute as pc
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # exact dedup: keep the latest crawl of each url (all pages of
+        # one crawl share warc_ts). Local hash-join inside the batch.
+        latest = (
+            t.select(["url", "warc_ts"])
+            .group_by("url", use_threads=False)
+            .aggregate([("warc_ts", "max")])
+        )
+        t = t.join(latest, keys="url", join_type="inner")
+        t = t.filter(pc.equal(t["warc_ts"], t["warc_ts_max"]))
+
+        if order == "lex":
+            # the reference's lexicographic filename-sort quirk
+            key = pc.binary_join_element_wise(
+                "page_", pc.cast(t["page_no"], pa.string()), ""
+            )
+            t = t.append_column("_k", key).sort_by(
+                [("url", "ascending"), ("_k", "ascending")]
+            )
+        else:
+            t = t.sort_by([("url", "ascending"), ("page_no", "ascending")])
+
+        # doc_type/lang/partition_id are constant per url, so "first"
+        # under single-threaded grouping over the url-sorted table is
+        # deterministic; selecting output columns strictly BY NAME.
+        meta = t.group_by("url", use_threads=False).aggregate(
+            [
+                ("doc_type", "first"),
+                ("lang", "first"),
+                ("partition_id", "first"),
+                ("parse_ok", "sum"),
+                ("parse_ok", "count"),
+            ]
+        )
+
+        pages = t.filter(pc.not_equal(t["route"], "none"))
+        pages = pages.set_column(
+            pages.schema.get_field_index("page_text"),
+            "page_text",
+            pc.fill_null(pages["page_text"], ""),
+        )
+        pg = pages.group_by("url", use_threads=False).aggregate(
+            [("page_text", "list"), ("route", "list"), ("page_no", "count")]
+        )
+        # Align pg (urls with >=1 real page) to meta (all urls) by
+        # position — Acero joins reject list payload columns, and an
+        # index_in/take alignment is cheaper than a hash join anyway.
+        m = meta.sort_by("url")
+        idx = pc.index_in(m["url"], value_set=pg["url"].combine_chunks())
+        text = pc.fill_null(
+            pc.binary_join(
+                pg["page_text_list"].combine_chunks(), page_separator
+            ).take(idx),
+            "",
+        )
+        n_pages = pc.fill_null(
+            pc.cast(pg["page_no_count"], pa.int32())
+            .combine_chunks()
+            .take(idx),
+            pa.scalar(0, pa.int32()),
+        )
+        routes = pc.fill_null(
+            pg["route_list"].combine_chunks().take(idx),
+            pa.scalar([], pa.list_(pa.string())),
+        )
+        ok = pc.cast(m["parse_ok_sum"], pa.int64())
+        total = m["parse_ok_count"]
+        return pa.table(
+            {
+                "url": m["url"],
+                "text": text,
+                "doc_type": m["doc_type_first"],
+                "lang": m["lang_first"],
+                "n_pages": n_pages,
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "routes": routes,
+                "parse_failures": pc.cast(
+                    pc.subtract(total, ok), pa.int32()
+                ),
+                "parse_ok": pc.and_(
+                    pc.equal(ok, total),
+                    pc.greater(n_pages, pa.scalar(0, pa.int32())),
+                ),
+                "partition_id": m["partition_id_first"],
+            }
         )
 
     return finalize

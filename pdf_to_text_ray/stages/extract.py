@@ -99,15 +99,16 @@ def make_doc_extractor(cfg: PipelineConfig, engine: str = "stub"):
     ``groupby(partition_id)`` path remains for corpora whose duplicate
     keys don't fit a broadcast (config.dedup_mode="shuffle").
     """
-    from .combine import make_finalizer
+    from .combine import make_finalizer_arrow
     from .ocr import ocr_task_fn
 
     extract = make_extractor(cfg)
-    finalize = make_finalizer(cfg.page_separator, cfg.combine_order)
+    finalize = make_finalizer_arrow(cfg.page_separator, cfg.combine_order)
 
     def doc_extract_batch(batch: pa.Table) -> pa.Table:
-        pages = ocr_task_fn(extract(batch), engine=engine)
-        out = finalize(pages.to_pandas())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow end to end: parse → OCR → combine without a pandas
+        # round-trip (the pandas finalizer remains the map_groups
+        # shuffle-path combine; equivalence is pytest-pinned).
+        return finalize(ocr_task_fn(extract(batch), engine=engine))
 
     return doc_extract_batch
