@@ -3209,7 +3209,87 @@ WHERE list_cosine_similarity(ea.e, eb.e) >= 0.1
 # the FIRST 50 entries, so the newest (least-proven) queries sit in the
 # checked prefix and the tail holds only long-stable entries that were
 # driver-green in round 2 (CORRECTNESS_r02.json) AND are pytest-covered.
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C style): flag every
+    training document containing a verbatim 13-word probe n-gram from
+    the benchmark set (deterministic corpus sample, doc_id % 97 == 0).
+
+    Scale shape: probe extraction is a map-side filter whose output is
+    benchmark-sized (corpus / 97 rows — ``take_all`` is bounded by the
+    benchmark, not the corpus); the scan broadcasts the probe list once
+    (``ray.put`` + per-worker cache) and runs P vectorized Arrow
+    substring passes per batch — map-only, no shuffle."""
+    from ..stages.corpus import make_contamination_scanner, probe_batch
+
+    probes = sorted(
+        {
+            r["probe"]
+            for r in _read_documents(sf_dir)
+            .map_batches(probe_batch, batch_format="pyarrow")
+            .take_all()
+        }
+    )
+    ref = ray.put(probes)
+    return _read_documents(sf_dir).map_batches(
+        make_contamination_scanner(ref), batch_format="pyarrow"
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w
+  FROM documents
+), bench AS (
+  SELECT DISTINCT array_to_string(list_slice(w, 1, 13), ' ') AS probe
+  FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 13
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM documents d JOIN bench b ON contains(d.text, b.probe)
+GROUP BY d.doc_id
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-then-chunk sequence packing (token-budget bins per lang
+    stream) — the distributed exclusive prefix sum in
+    stages/packing.py; see its module docstring for the two-level
+    scan and the bounded-partition fill."""
+    from ..stages.packing import pack_sequences
+
+    return pack_sequences(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "text"],
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_tok
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, start_tok,
+  start_tok // 512 AS bin_id,
+  CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
+       ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+  END AS n_bins
+FROM s
+"""
+
+
 QUERIES = {
+    # --- round-3 additions first (driver-gate checked prefix) ---
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
     # --- newest additions first (unchecked by the r02 driver gate) ---
     "line_dedup": q_line_dedup,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -3287,6 +3367,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "decontaminate": SQL_DECONTAMINATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "extract_e2e": SQL_EXTRACT_E2E,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "domain_stats": SQL_DOMAIN_STATS,

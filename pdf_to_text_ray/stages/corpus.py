@@ -166,3 +166,67 @@ def stratified_sample_batch(
         sample_hash(i) < rates.get(lang, 100) for i, lang in zip(ids, langs)
     ]
     return batch.filter(pa.array(keep, pa.bool_()))
+
+
+# ------------------------------------------------- decontamination
+
+# Benchmark/eval decontamination (the GPT-3 appendix-C / PaLM-style
+# n-gram overlap check): every training document containing a verbatim
+# probe n-gram from the held-out benchmark is flagged. The benchmark
+# here is a deterministic sample of the corpus itself (doc_id % 97)
+# so the DuckDB oracle can rebuild the probe set exactly.
+PROBE_MOD = 97
+PROBE_WORDS = 13
+
+
+def probe_of(text: str) -> str | None:
+    """First PROBE_WORDS whitespace tokens, space-joined — None when
+    the document is too short to yield a full probe."""
+    words = _RE_WORD.findall(text)[:PROBE_WORDS]
+    if len(words) < PROBE_WORDS:
+        return None
+    return " ".join(words)
+
+
+def probe_batch(batch: pa.Table) -> pa.Table:
+    """Map-side probe extraction: benchmark rows only leave the task."""
+    bench = batch.filter(
+        pa.array(batch["doc_id"].to_numpy() % PROBE_MOD == 0, pa.bool_())
+    )
+    probes = [
+        p
+        for p in (probe_of(t) for t in bench["text"].to_pylist())
+        if p is not None
+    ]
+    return pa.table({"probe": pa.array(probes, pa.string())})
+
+
+def make_contamination_scanner(probes_ref):
+    """Batch scanner: P vectorized literal-substring passes (Arrow
+    SIMD ``match_substring``) per batch against the broadcast probe
+    list — O(P × corpus) with a fixed benchmark, no shuffle. Emits
+    only contaminated rows (doc_id, n_hits = distinct probes found)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.broadcast import cached_get
+
+    def scan(batch: pa.Table) -> pa.Table:
+        probes = cached_get(probes_ref)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        text = batch["text"]
+        for p in probes:
+            hits += pc.match_substring(text, p).to_numpy(
+                zero_copy_only=False
+            )
+        mask = hits > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(
+                    pa.array(mask, pa.bool_())
+                ),
+                "n_hits": pa.array(hits[mask], pa.int64()),
+            }
+        )
+
+    return scan

@@ -125,3 +125,132 @@ def test_stratified_sample_rates_and_determinism(sf_dir):
             assert 0.3 * n < by_lang_kept[lang] < 0.7 * n
         else:
             assert by_lang_kept[lang] == n
+
+
+# ------------------------------------------------- decontamination
+
+def test_probe_of_edges():
+    from pdf_to_text_ray.stages.corpus import PROBE_WORDS, probe_of
+
+    words = [f"w{i}" for i in range(PROBE_WORDS)]
+    assert probe_of(" ".join(words)) == " ".join(words)
+    assert probe_of(" ".join(words[:-1])) is None  # too short
+    assert probe_of("") is None
+    # extra words beyond the probe are ignored
+    assert probe_of(" ".join(words + ["extra"])) == " ".join(words)
+
+
+def test_contamination_scanner_hits_and_counts():
+    import ray
+
+    from pdf_to_text_ray.stages.corpus import make_contamination_scanner
+
+    probes = ["alpha beta gamma", "delta epsilon zeta"]
+    scan = make_contamination_scanner(ray.put(probes))
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "clean document",
+                    "contains alpha beta gamma inline",
+                    "both: alpha beta gamma and delta epsilon zeta",
+                    "partial alpha beta only",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in scan(batch).to_pylist()}
+    assert out == {2: 1, 3: 2}
+
+
+def test_decontaminate_flags_benchmark_docs(sf_dir):
+    """Every benchmark doc long enough to yield a probe must flag
+    itself (it trivially contains its own probe)."""
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_ray.pipelines.queries import QUERIES
+    from pdf_to_text_ray.stages.corpus import (
+        PROBE_MOD,
+        probe_of,
+    )
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    bench_ids = {
+        d["doc_id"]
+        for d in docs
+        if d["doc_id"] % PROBE_MOD == 0 and probe_of(d["text"]) is not None
+    }
+    flagged = {
+        r["doc_id"] for r in QUERIES["decontaminate"](sf_dir).take_all()
+    }
+    assert bench_ids <= flagged
+
+
+# ------------------------------------------------- sequence packing
+
+def test_pack_sequences_matches_naive_cumsum(sf_dir):
+    """Distributed two-level scan == single-process pandas cumsum,
+    bit for bit, under a chunk size that forces multi-chunk scans."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_to_text_ray.stages.packing import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    got = (
+        pack_sequences(docs, budget=64, chunk_docs=37)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    df = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    df["n_tokens"] = df["text"].str.count(r"\S+")
+    df = df.sort_values(["lang", "doc_id"])
+    df["start_tok"] = (
+        df.groupby("lang")["n_tokens"].cumsum() - df["n_tokens"]
+    )
+    df["bin_id"] = df["start_tok"] // 64
+    last = (df["start_tok"] + df["n_tokens"] - 1) // 64
+    df["n_bins"] = (last - df["bin_id"] + 1).where(df["n_tokens"] > 0, 1)
+    exp = (
+        df[["doc_id", "lang", "n_tokens", "start_tok", "bin_id", "n_bins"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns if c != "lang"}),
+        exp.astype({c: "int64" for c in exp.columns if c != "lang"}),
+    )
+
+
+def test_pack_bins_are_budget_dense(sf_dir):
+    """Concat-then-chunk invariant: within a lang stream every bin
+    except the last starts exactly at a budget boundary — the doc
+    start offsets tile the token stream with no gaps."""
+    import ray.data
+
+    from pdf_to_text_ray.stages.packing import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    rows = pack_sequences(docs, budget=64, chunk_docs=37).take_all()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rs:
+            assert r["start_tok"] == run, (lang, r)
+            run += r["n_tokens"]
