@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "text_windows",
     "train_val_split",
     "stratified_sample",
+    "decontaminate",
+    "pack_sequences",
     "pii_redact",
     "repetition_stats",
     "doclen_quantiles",
