@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "stratified_sample",
     "decontaminate",
     "pack_sequences",
+    "temperature_mix",
+    "crawl_delta",
+    "topic_classify",
     "pii_redact",
     "repetition_stats",
     "doclen_quantiles",

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG
 from ..functions import scalar
@@ -3286,10 +3286,213 @@ FROM s
 """
 
 
+def q_temperature_mix(sf_dir: str):
+    """Multilingual temperature resampling (mT5/XLM-R-style, alpha=0.5):
+    per-language keep-rates proportional to sqrt(n_l)/n_l flatten the
+    language distribution toward the tail, targeting a corpus//2
+    sample. Two-phase: a tiny lang-count groupby lands on the driver,
+    exact-integer thresholds (stages/corpus.py:mix_thresholds) ship in
+    the task closure, then one map-only hash-draw filter."""
+    from ..stages.corpus import (
+        MIX_TARGET_DEN,
+        make_mix_filter,
+        mix_thresholds,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    counts = {
+        r["lang"]: r["n_docs"]
+        for r in ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .take_all()  # lang-cardinality rows only
+    }
+    thr = mix_thresholds(counts, sum(counts.values()) // MIX_TARGET_DEN)
+    return ds.map_batches(make_mix_filter(thr), batch_format="pyarrow")
+
+
+SQL_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wl FROM counts
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_n, CAST(sum(wl) AS BIGINT) AS total_w
+  FROM w
+), thr AS (
+  SELECT lang,
+    LEAST(CAST(10000 AS BIGINT),
+          (10000 * ((SELECT total_n FROM tot) // 2) * wl)
+            // ((SELECT total_w FROM tot) * n)) AS threshold
+  FROM w
+), h AS (
+  SELECT doc_id, lang,
+    sum(CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), k + 1, 1)) - 1
+             AS BIGINT)
+        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
+               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
+               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
+  FROM documents, generate_series(0, 7) AS g(k)
+  GROUP BY doc_id, lang
+)
+SELECT h.doc_id, h.lang
+FROM h JOIN thr ON h.lang = thr.lang
+WHERE h.hv % 10000 < thr.threshold
+"""
+
+
+def q_crawl_delta(sf_dir: str):
+    """Incremental-crawl snapshot diff: classify every url as added /
+    updated / unchanged relative to the snapshot boundary T = midpoint
+    of the crawl-timestamp range. The wide step exchanges ONE skinny
+    flag row per crawl key (url, two 0/1 flags, ts) — payloads never
+    move; the boundary comes from a tiny min/max aggregate."""
+    from .extract import synthesize_keys
+
+    mm = synthesize_keys(sf_dir).aggregate(
+        Min("ts_us", alias_name="mn"), Max("ts_us", alias_name="mx")
+    )
+    boundary = (mm["mn"] + mm["mx"]) // 2
+
+    def flags(t: pa.Table) -> pa.Table:
+        old = pc.less(t["ts_us"], boundary)
+        return pa.table(
+            {
+                "url": t["url"],
+                "is_old": pc.cast(old, pa.int64()),
+                "is_new": pc.cast(pc.invert(old), pa.int64()),
+                "ts_us": t["ts_us"],
+            }
+        )
+
+    def classify(t: pa.Table) -> pa.Table:
+        n_old = pc.cast(t["n_old"], pa.int64())
+        n_new = pc.cast(t["n_new"], pa.int64())
+        status = pc.if_else(
+            pc.and_(pc.greater(n_old, 0), pc.greater(n_new, 0)),
+            pa.scalar("updated"),
+            pc.if_else(
+                pc.greater(n_new, 0),
+                pa.scalar("added"),
+                pa.scalar("unchanged"),
+            ),
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_old": n_old,
+                "n_new": n_new,
+                "latest_ts_us": pc.cast(t["latest_ts_us"], pa.int64()),
+                "status": status,
+            }
+        )
+
+    return (
+        synthesize_keys(sf_dir)
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(
+            Sum("is_old", alias_name="n_old"),
+            Sum("is_new", alias_name="n_new"),
+            Max("ts_us", alias_name="latest_ts_us"),
+        )
+        .map_batches(classify, batch_format="pyarrow")
+    )
+
+
+# crawl-key reconstruction mirrors sources/synth.py:131-151 (url_for,
+# ts_for=EPOCH+doc_id sec, plus a 1-day-earlier re-crawl for cls 2)
+SQL_CRAWL_DELTA = """
+WITH crawls AS (
+  SELECT 'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(epoch_us(TIMESTAMP '2026-01-01'
+                       + to_seconds(CAST(doc_id AS BIGINT))) AS BIGINT)
+           AS ts_us
+  FROM documents
+  UNION ALL
+  SELECT 'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(epoch_us(TIMESTAMP '2026-01-01'
+                       + to_seconds(CAST(doc_id AS BIGINT))
+                       - INTERVAL 1 DAY) AS BIGINT) AS ts_us
+  FROM documents WHERE doc_id % 10 = 2
+), bnd AS (
+  SELECT (min(ts_us) + max(ts_us)) // 2 AS t FROM crawls
+), agg AS (
+  SELECT url,
+    CAST(sum(CASE WHEN ts_us < (SELECT t FROM bnd) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_old,
+    CAST(sum(CASE WHEN ts_us >= (SELECT t FROM bnd) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_new,
+    CAST(max(ts_us) AS BIGINT) AS latest_ts_us
+  FROM crawls GROUP BY url
+)
+SELECT url, n_old, n_new, latest_ts_us,
+  CASE WHEN n_old > 0 AND n_new > 0 THEN 'updated'
+       WHEN n_new > 0 THEN 'added'
+       ELSE 'unchanged' END AS status
+FROM agg
+"""
+
+
+def q_topic_classify(sf_dir: str):
+    """Keyword-list topic tagging (mixing-weight precursor): whole-word
+    keyword counts per topic, argmax with lexicographic tie-break —
+    a fixed number of vectorized Arrow regex passes, map-only."""
+    from ..stages.textstats import topic_classify_batch
+
+    return _read_documents(sf_dir).map_batches(
+        topic_classify_batch, batch_format="pyarrow"
+    )
+
+
+def _topic_sql() -> str:
+    from ..stages.textstats import TOPICS
+
+    topics = sorted(TOPICS)
+    scores = ",\n    ".join(
+        "CAST("
+        + " + ".join(
+            f"len(regexp_extract_all(text, '\\b{kw}\\b'))"
+            for kw in TOPICS[t]
+        )
+        + f" AS BIGINT) AS s_{t}"
+        for t in topics
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, '{t}' AS topic, s_{t} AS score FROM scores"
+        for t in topics
+    )
+    return f"""
+WITH scores AS (
+  SELECT doc_id,
+    {scores}
+  FROM documents
+), long AS (
+  {unions}
+)
+SELECT doc_id, topic, score FROM (
+  SELECT doc_id, topic, score,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, topic) AS rn
+  FROM long
+) WHERE rn = 1
+"""
+
+
+SQL_TOPIC_CLASSIFY = _topic_sql()
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "temperature_mix": q_temperature_mix,
+    "crawl_delta": q_crawl_delta,
+    "topic_classify": q_topic_classify,
     # --- newest additions first (unchecked by the r02 driver gate) ---
     "line_dedup": q_line_dedup,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -3369,6 +3572,9 @@ QUERIES = {
 ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
+    "crawl_delta": SQL_CRAWL_DELTA,
+    "topic_classify": SQL_TOPIC_CLASSIFY,
     "extract_e2e": SQL_EXTRACT_E2E,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "domain_stats": SQL_DOMAIN_STATS,

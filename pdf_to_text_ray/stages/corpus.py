@@ -230,3 +230,58 @@ def make_contamination_scanner(probes_ref):
         )
 
     return scan
+
+
+# ------------------------------------------- temperature resampling
+
+# Multilingual corpus mixing (the mT5/XLM-R temperature-sampling op):
+# stratum l is kept at a rate proportional to (n_l)^alpha / n_l with
+# alpha = 0.5, flattening the language distribution toward the tail.
+# All arithmetic is INTEGER so the DuckDB oracle matches bit-for-bit:
+# weights are isqrt(n_l) (== floor(sqrt(n_l)) exactly for n < 2^52),
+# thresholds are exact integer floors out of MIX_MOD, and the per-doc
+# draw is the house md5 pattern under a dedicated salt.
+MIX_MOD = 10_000
+MIX_TARGET_DEN = 2  # sample budget = corpus size // 2
+
+
+def mix_hash(doc_id: int) -> int:
+    """Deterministic 0..MIX_MOD-1 draw (salt 'mix' — independent of
+    the split and sample streams)."""
+    return int(
+        hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:8], 16
+    ) % MIX_MOD
+
+
+def mix_thresholds(
+    lang_counts: dict[str, int], target_total: int
+) -> dict[str, int]:
+    """Per-language keep-threshold out of MIX_MOD: rate_l =
+    min(1, S * w_l / (W * n_l)) with w_l = isqrt(n_l), W = sum(w)."""
+    import math
+
+    w = {lang: math.isqrt(n) for lang, n in lang_counts.items()}
+    W = sum(w.values())
+    return {
+        lang: min(
+            MIX_MOD, (MIX_MOD * target_total * w[lang]) // (W * n)
+        )
+        for lang, n in lang_counts.items()
+    }
+
+
+def make_mix_filter(thresholds: dict[str, int]):
+    """Map-only filter: keep a row iff its draw clears its language's
+    threshold. ``thresholds`` is lang-cardinality-sized (tiny) and
+    ships in the task closure."""
+
+    def mix_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        keep = [
+            mix_hash(i) < thresholds.get(lang, 0)
+            for i, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return mix_batch

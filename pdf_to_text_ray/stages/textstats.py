@@ -134,3 +134,45 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------- topic classification
+
+# Keyword-list topic scoring (the mixing-weight / domain-tagging op a
+# corpus pipeline runs before choosing sampling ratios): score(topic) =
+# total occurrences of the topic's keywords as whole words; argmax with
+# lexicographic tie-break. Fixed keyword lists -> a handful of
+# vectorized Arrow regex passes per batch, map-only; the SQL oracle
+# inlines the same lists (functions/queries house pattern).
+TOPICS: dict[str, list[str]] = {
+    "business": ["customer", "order", "part", "value", "query"],
+    "relational": ["join", "hash", "sort", "merge", "filter", "agg"],
+    "storage": ["row", "column", "vector", "table", "scan"],
+    "streaming": ["stream", "batch", "window", "spark"],
+}
+_TOPIC_ORDER = sorted(TOPICS)  # lexicographic: argmax tie-break order
+
+
+def topic_classify_batch(batch: pa.Table) -> pa.Table:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    score_mat = np.zeros((batch.num_rows, len(_TOPIC_ORDER)), np.int64)
+    for j, topic in enumerate(_TOPIC_ORDER):
+        for kw in TOPICS[topic]:
+            score_mat[:, j] += pc.count_substring_regex(
+                text, rf"\b{kw}\b"
+            ).to_numpy()
+    best = score_mat.argmax(axis=1)  # first max == lexicographic tie-break
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "topic": pa.array(
+                [_TOPIC_ORDER[j] for j in best], pa.string()
+            ),
+            "score": pa.array(
+                score_mat[np.arange(len(best)), best], pa.int64()
+            ),
+        }
+    )

@@ -254,3 +254,60 @@ def test_pack_bins_are_budget_dense(sf_dir):
         for r in rs:
             assert r["start_tok"] == run, (lang, r)
             run += r["n_tokens"]
+
+
+# ------------------------------------------- temperature resampling
+
+def test_mix_thresholds_exact_integer_math():
+    from pdf_to_text_ray.stages.corpus import MIX_MOD, mix_thresholds
+
+    counts = {"en": 400, "fr": 64, "de": 4}
+    thr = mix_thresholds(counts, target_total=234)
+    # w = {20, 8, 2}, W = 30
+    assert thr["en"] == min(MIX_MOD, (MIX_MOD * 234 * 20) // (30 * 400))
+    assert thr["de"] == min(MIX_MOD, (MIX_MOD * 234 * 2) // (30 * 4))
+    # tail keeps a larger fraction than the head (the whole point)
+    assert thr["de"] > thr["en"]
+    # a tiny stratum saturates at keep-everything
+    assert mix_thresholds({"en": 10**6, "xx": 1}, 10**5)["xx"] == MIX_MOD
+
+
+def test_temperature_mix_flattens_distribution(sf_dir):
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_ray.pipelines.queries import QUERIES
+
+    orig = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .to_pandas()["lang"]
+        .value_counts()
+    )
+    kept = {}
+    for r in QUERIES["temperature_mix"](sf_dir).take_all():
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    # every language survives, and the kept fraction of the most
+    # common language is below the kept fraction of the rarest
+    assert set(kept) == set(orig.index)
+    head, tail = orig.index[0], orig.index[-1]
+    assert kept[head] / orig[head] < kept[tail] / orig[tail]
+
+
+# ------------------------------------------- crawl snapshot delta
+
+def test_crawl_delta_classes(sf_dir):
+    from pdf_to_text_ray.pipelines.queries import QUERIES
+    from pdf_to_text_ray.sources.synth import url_for
+
+    rows = {r["url"]: r for r in QUERIES["crawl_delta"](sf_dir).take_all()}
+    statuses = {r["status"] for r in rows.values()}
+    assert statuses <= {"added", "updated", "unchanged"}
+    # every re-crawled url (doc_id % 10 == 2: one crawl at ts, one a
+    # day earlier) must be 'updated' — its crawls straddle the
+    # midpoint boundary by construction
+    for url, r in rows.items():
+        doc_id = int(url.rsplit("/", 1)[1])
+        if doc_id % 10 == 2:
+            assert r["status"] == "updated", (url, r)
+            assert r["n_old"] == 1 and r["n_new"] == 1
+        else:
+            assert r["n_old"] + r["n_new"] == 1
