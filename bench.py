@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "text_windows",
     "train_val_split",
     "stratified_sample",
+    "url_canonicalize",
     "decontaminate",
     "pack_sequences",
     "temperature_mix",

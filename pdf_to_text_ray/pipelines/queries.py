@@ -3486,8 +3486,84 @@ SELECT doc_id, topic, score FROM (
 SQL_TOPIC_CLASSIFY = _topic_sql()
 
 
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization (functions/urlnorm.py): the normalization
+    pass that precedes any url-keyed dedup/join on a web corpus —
+    map-only, per-row string surgery, no shuffle."""
+    from ..functions.urlnorm import url_canonicalize_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(url_canonicalize_batch, batch_format="pyarrow")
+
+
+# generic canonicalization in SQL (not a per-class answer table): the
+# oracle re-implements rules 1-5 of functions/urlnorm.py with DuckDB
+# string/list kernels over the same decorated inputs.
+SQL_URL_CANONICALIZE = """
+WITH base AS (
+  SELECT doc_id,
+    'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+      || '.example/doc/' || CAST(doc_id AS VARCHAR) AS b
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 1 THEN 'https://'
+        || upper(split_part(split_part(b, '://', 2), '/', 1))
+        || substr(split_part(b, '://', 2),
+                  len(split_part(split_part(b, '://', 2), '/', 1)) + 1)
+        || '#section2'
+      WHEN 2 THEN b || '?utm_source=feed&z=9&a=1'
+      WHEN 3 THEN replace(b, '.example/', '.example:443/') || '/'
+      WHEN 4 THEN b || '?b=2&utm_campaign=x'
+      ELSE b END AS raw_url
+  FROM base
+), parts AS (
+  SELECT doc_id, raw_url,
+    lower(split_part(raw_url, '://', 1)) AS scheme,
+    split_part(split_part(raw_url, '#', 1), '://', 2) AS rest
+  FROM raw
+), split1 AS (
+  SELECT *,
+    split_part(rest, '?', 1) AS authpath,
+    CASE WHEN strpos(rest, '?') > 0
+         THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS query
+  FROM parts
+), split2 AS (
+  SELECT *,
+    split_part(authpath, '/', 1) AS auth,
+    substr(authpath, len(split_part(authpath, '/', 1)) + 1) AS path
+  FROM split1
+), norm AS (
+  SELECT doc_id, raw_url, scheme, query,
+    lower(split_part(auth, ':', 1))
+      || CASE WHEN split_part(auth, ':', 2) = '' THEN ''
+              WHEN scheme = 'https' AND split_part(auth, ':', 2) = '443' THEN ''
+              WHEN scheme = 'http' AND split_part(auth, ':', 2) = '80' THEN ''
+              ELSE ':' || split_part(auth, ':', 2) END AS host,
+    CASE WHEN path LIKE '%/' AND path <> '/'
+         THEN substr(path, 1, len(path) - 1) ELSE path END AS path
+  FROM split2
+), q AS (
+  SELECT doc_id, raw_url, scheme, host, path,
+    list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT starts_with(p, 'utm_')
+           AND NOT starts_with(p, 'fbclid=')
+           AND NOT starts_with(p, 'gclid='))) AS params
+  FROM norm
+)
+SELECT doc_id, raw_url,
+  scheme || '://' || host || path
+    || CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+FROM q
+"""
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "url_canonicalize": q_url_canonicalize,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "temperature_mix": q_temperature_mix,
@@ -3570,6 +3646,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "url_canonicalize": SQL_URL_CANONICALIZE,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "temperature_mix": SQL_TEMPERATURE_MIX,

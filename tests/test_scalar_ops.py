@@ -77,3 +77,43 @@ def test_split_into_sentences():
     assert scalar.split_into_sentences("A b. C d! E?") == ["A b.", "C d!", "E?"]
     assert scalar.split_into_sentences("") == []
     assert scalar.split_into_sentences("no terminator") == ["no terminator"]
+
+
+# ---------------------------------------------- url canonicalization
+
+def test_canonicalize_url_rules():
+    from pdf_to_text_ray.functions.urlnorm import canonicalize_url as c
+
+    assert c("https://Ex.COM/a#frag") == "https://ex.com/a"
+    assert c("HTTPS://ex.com:443/a") == "https://ex.com/a"
+    assert c("http://ex.com:80/a") == "http://ex.com/a"
+    assert c("http://ex.com:8080/a") == "http://ex.com:8080/a"  # kept
+    assert c("https://ex.com/a/") == "https://ex.com/a"
+    assert c("https://ex.com/") == "https://ex.com/"  # root slash kept
+    assert (
+        c("https://ex.com/p?utm_source=x&b=2&a=1&gclid=g")
+        == "https://ex.com/p?a=1&b=2"
+    )
+    assert c("https://ex.com/p?utm_source=x") == "https://ex.com/p"
+    # idempotent
+    assert c(c("https://EX.com:443/a/?z=1&utm_x=1#f")) == c(
+        "https://EX.com:443/a/?z=1&utm_x=1#f"
+    )
+
+
+def test_decorate_then_canonicalize_recovers_base():
+    from pdf_to_text_ray.functions.urlnorm import (
+        canonicalize_url,
+        decorate_url,
+    )
+
+    base = "https://site-7.example/doc/42"
+    expect = {
+        0: base,
+        1: base,
+        2: base + "?a=1&z=9",
+        3: base,
+        4: base + "?b=2",
+    }
+    for v in range(5):
+        assert canonicalize_url(decorate_url(v, base)) == expect[v]
