@@ -8,11 +8,11 @@ offset in the stream — a *global running sum*, which no single
 ``map_batches`` or ``groupby`` aggregate expresses. This stage
 implements the classic two-level scan:
 
-1. **Partial sums** (map-side + tiny groupby): documents carry a
-   deterministic scan-chunk key (``doc_id // chunk_docs``); one
-   exchange of skinny (lang, chunk, Σ n_tokens) partials — tens of
-   bytes per *chunk*, not per doc — lands a table of
-   ``n_docs / chunk_docs`` rows on the driver.
+1. **Partial sums** (purely map-side — no shuffle): documents carry a
+   deterministic scan-chunk key (``doc_id // chunk_docs``); each block
+   collapses to its own (lang, chunk, Σ n_tokens) partials, so only
+   chunk-granular rows — tens of bytes per *chunk per block*, not per
+   doc — land on the driver, which merges duplicates.
 2. **Exclusive scan of chunk totals** on the driver (numpy cumsum over
    the tiny table), broadcast once via ``ray.put``.
 3. **Within-chunk fill**: ``groupby(lang, chunk).map_groups`` — each
@@ -40,8 +40,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
-
 from ..functions.broadcast import cached_get
 
 PACK_BUDGET = 512  # tokens per training bin
@@ -69,14 +67,19 @@ def make_tokenizer(chunk_docs: int = CHUNK_DOCS):
 
 
 def chunk_offsets(rows: list[dict]) -> dict[tuple[str, int], int]:
-    """Exclusive scan over (lang, chunk, chunk_tokens) partials —
-    driver-side, over the TINY chunk-level table only."""
+    """Merge + exclusive scan over (lang, chunk, chunk_tokens)
+    partials — driver-side, over the TINY chunk-level table only. A
+    (lang, chunk) key may appear once per block that touched it; the
+    merge sums those partials before scanning."""
+    totals: dict[tuple[str, int], int] = {}
+    for r in rows:
+        key = (r["lang"], r["chunk"])
+        totals[key] = totals.get(key, 0) + r["chunk_tokens"]
     offsets: dict[tuple[str, int], int] = {}
     run: dict[str, int] = {}
-    for r in sorted(rows, key=lambda r: (r["lang"], r["chunk"])):
-        lang = r["lang"]
-        offsets[(lang, r["chunk"])] = run.get(lang, 0)
-        run[lang] = offsets[(lang, r["chunk"])] + r["chunk_tokens"]
+    for lang, chunk in sorted(totals):
+        offsets[(lang, chunk)] = run.get(lang, 0)
+        run[lang] = offsets[(lang, chunk)] + totals[(lang, chunk)]
     return offsets
 
 
@@ -119,11 +122,26 @@ def pack_sequences(
     skinny = docs.map_batches(
         make_tokenizer(chunk_docs), batch_format="pyarrow"
     )
-    partials = (
-        skinny.groupby(["lang", "chunk"])
-        .aggregate(Sum("n_tokens", alias_name="chunk_tokens"))
-        .take_all()  # chunk-level rows only: n_docs / chunk_docs
-    )
+
+    def batch_partials(t: pa.Table) -> pa.Table:
+        # map-side combine: each batch collapses to its (lang, chunk)
+        # sums, so NO per-doc row ever crosses to the driver — blocks
+        # cover contiguous doc_ids, so a batch touches ~batch/chunk_docs
+        # chunks. Output columns selected by name (never positional).
+        g = t.group_by(["lang", "chunk"]).aggregate([("n_tokens", "sum")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "chunk": g["chunk"],
+                "chunk_tokens": pc.cast(g["n_tokens_sum"], pa.int64()),
+            }
+        )
+
+    # merge per-block partials driver-side (duplicate (lang, chunk)
+    # keys across block boundaries collapse in chunk_offsets' scan)
+    partials = skinny.map_batches(
+        batch_partials, batch_format="pyarrow", batch_size=None
+    ).take_all()
     offsets_ref = ray.put(chunk_offsets(partials))
     return (
         skinny.groupby(["lang", "chunk"])

@@ -311,3 +311,43 @@ def test_crawl_delta_classes(sf_dir):
             assert r["n_old"] == 1 and r["n_new"] == 1
         else:
             assert r["n_old"] + r["n_new"] == 1
+
+
+def test_chunk_offsets_merges_split_partials():
+    """A (lang, chunk) key arriving as multiple per-block partials must
+    merge before the exclusive scan (blocks can split a scan chunk)."""
+    from pdf_to_text_ray.stages.packing import chunk_offsets
+
+    rows = [
+        {"lang": "en", "chunk": 0, "chunk_tokens": 10},
+        {"lang": "en", "chunk": 0, "chunk_tokens": 5},   # same key, block 2
+        {"lang": "en", "chunk": 1, "chunk_tokens": 7},
+        {"lang": "fr", "chunk": 0, "chunk_tokens": 3},
+    ]
+    off = chunk_offsets(rows)
+    assert off == {("en", 0): 0, ("en", 1): 15, ("fr", 0): 0}
+
+
+def test_pack_sequences_parallelism_invariant(sf_dir):
+    """Identical output under 1-block and many-block reads (scan chunks
+    split across blocks exercise the partial-merge path)."""
+    import ray.data
+
+    from pdf_to_text_ray.stages.packing import pack_sequences
+
+    def run(num_blocks):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "text"],
+            override_num_blocks=num_blocks,
+        )
+        return sorted(
+            (
+                tuple(r[k] for k in ("doc_id", "lang", "n_tokens",
+                                     "start_tok", "bin_id", "n_bins"))
+                for r in pack_sequences(ds, budget=64, chunk_docs=37)
+                .take_all()
+            )
+        )
+
+    assert run(1) == run(13)
