@@ -116,3 +116,24 @@ def test_renderers_total_on_arbitrary_text(text):
                     ET.fromstring(z.read(name))
 
     assert render_pdf_bytes(text) == pdf
+
+
+@hypothesis.given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x2FF
+        ),
+        max_size=80,
+    )
+)
+@hypothesis.settings(max_examples=300, deadline=None)
+def test_canonicalize_url_never_crashes_and_is_idempotent(s):
+    """Canonicalization must accept arbitrary URL-ish garbage (a web
+    corpus WILL contain it) without raising, and be a projection:
+    canon(canon(x)) == canon(x)."""
+    from pdf_to_text_ray.functions.urlnorm import canonicalize_url
+
+    for candidate in (s, "https://" + s, "http://host/" + s):
+        out = canonicalize_url(candidate)
+        assert isinstance(out, str)
+        assert canonicalize_url(out) == out
