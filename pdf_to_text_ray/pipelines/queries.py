@@ -3561,8 +3561,106 @@ FROM q
 """
 
 
+def q_html_metadata(sf_dir: str):
+    """Structured-field extraction alongside main content: <title> and
+    anchor-link count per crawl, gated on the byte-sniffer (only
+    payloads that sniff as HTML are searched, so PDF streams / junk
+    bytes that happen to contain ``<a `` never miscount). Map-only
+    over the raw crawl — runs BEFORE dedup, so stale re-crawls appear
+    (cls 2 urls yield two rows)."""
+    import re as _re
+
+    from ..stages.sniff import sniff_payload
+
+    _TITLE = _re.compile(rb"<title>(.*?)</title>", _re.S)
+
+    def meta(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        tss = t["warc_ts"].to_pylist()
+        payloads = t["html"].to_pylist()
+        doc_types, titles, n_links = [], [], []
+        for payload in payloads:
+            dt = sniff_payload(payload)
+            doc_types.append(dt)
+            if dt == "html":
+                m = _TITLE.search(payload)
+                titles.append(
+                    m.group(1).decode("utf-8", "replace") if m else None
+                )
+                n_links.append(payload.count(b"<a "))
+            else:
+                titles.append(None)
+                n_links.append(0)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts_us": pa.array(
+                    [
+                        int(ts.timestamp() * 1_000_000)
+                        if hasattr(ts, "timestamp")
+                        else int(ts)
+                        for ts in tss
+                    ],
+                    pa.int64(),
+                ),
+                "doc_type": pa.array(doc_types, pa.string()),
+                "title": pa.array(titles, pa.string()),
+                "n_links": pa.array(n_links, pa.int64()),
+            }
+        )
+
+    return synthesize_docs(sf_dir).map_batches(
+        meta, batch_format="pyarrow"
+    )
+
+
+def _html_meta_sql() -> str:
+    # link counts inlined from the payload builders' fixed boilerplate
+    # (sources/synth.py) — the oracle stays in lockstep with the
+    # constants because they're COUNTED here, not hand-copied
+    from ..sources import synth
+
+    def links(s: str) -> int:
+        return s.count("<a ")
+
+    n_simple = links(synth._NAV) + links(synth._SIDEBAR_LINKS) + links(
+        synth._FOOTER
+    )
+    n_boiler = 3 * links(synth._SIDEBAR_LINKS)
+    n_malformed = links(synth._SIDEBAR_LINKS)
+    return f"""
+WITH crawl AS (
+  SELECT doc_id, doc_id % 10 AS cls, 0 AS stale FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 10 AS cls, 1 AS stale
+  FROM documents WHERE doc_id % 10 = 2
+)
+SELECT
+  'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+    || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+  CAST(epoch_us(TIMESTAMP '2026-01-01'
+                + to_seconds(CAST(doc_id AS BIGINT))
+                - stale * INTERVAL 1 DAY) AS BIGINT) AS ts_us,
+  CASE WHEN cls <= 5 THEN 'html'
+       WHEN cls <= 8 THEN 'pdf'
+       ELSE 'unknown' END AS doc_type,
+  CASE WHEN cls <= 2 THEN 'Document ' || CAST(doc_id AS VARCHAR)
+       WHEN cls <= 4 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+       ELSE NULL END AS title,
+  CAST(CASE WHEN cls <= 2 THEN {n_simple}
+            WHEN cls <= 4 THEN {n_boiler}
+            WHEN cls = 5 THEN {n_malformed}
+            ELSE 0 END AS BIGINT) AS n_links
+FROM crawl
+"""
+
+
+SQL_HTML_METADATA = _html_meta_sql()
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "html_metadata": q_html_metadata,
     "url_canonicalize": q_url_canonicalize,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
@@ -3646,6 +3744,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "html_metadata": SQL_HTML_METADATA,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
