@@ -3658,8 +3658,70 @@ FROM crawl
 SQL_HTML_METADATA = _html_meta_sql()
 
 
+def q_gopher_quality(sf_dir: str):
+    """Published Gopher corpus-filter rules (Rae et al. 2021, Table A1)
+    as a map-only gate over ``documents`` — the standard hard-filter
+    pass a web corpus runs before training. Signals + conjunctive
+    ``passes`` flag per doc; thresholds in stages/textstats.py."""
+    return _read_documents(sf_dir).map_batches(
+        textstats.gopher_quality_batch, batch_format="pyarrow"
+    )
+
+
+def _gopher_sql() -> str:
+    stop_sql = ", ".join(f"'{w}'" for w in textstats.GOPHER_STOP)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    regexp_extract_all(text, '\\S+') AS toks,
+    string_split(text, chr(10)) AS lines,
+    list_distinct(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                              w -> w IN ({stop_sql}))) AS stops
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(length(toks) AS BIGINT) AS n_words,
+    CASE WHEN length(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+              / CAST(length(toks) AS BIGINT) END AS mean_word_len,
+    CASE WHEN length(toks) = 0 THEN 0.0
+         ELSE CAST((length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) // 3)
+                   AS BIGINT)
+              / CAST(length(toks) AS BIGINT) END AS symbol_ratio,
+    CAST(length(list_filter(lines, l ->
+           starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+           OR starts_with(ltrim(l), '• '))) AS BIGINT)
+      / CAST(length(lines) AS BIGINT) AS bullet_frac,
+    CAST(length(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS BIGINT)
+      / CAST(length(lines) AS BIGINT) AS ellipsis_frac,
+    CASE WHEN length(toks) = 0 THEN 0.0
+         ELSE CAST(length(list_filter(toks,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+              / CAST(length(toks) AS BIGINT) END AS alpha_word_frac,
+    CAST(length(stops) AS BIGINT) AS stop_hits
+  FROM t
+)
+SELECT *,
+  (n_words BETWEEN {textstats.GOPHER_MIN_WORDS}
+               AND {textstats.GOPHER_MAX_WORDS}
+   AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WL}
+                         AND {textstats.GOPHER_MAX_MEAN_WL}
+   AND symbol_ratio < {textstats.GOPHER_MAX_SYMBOL_RATIO}
+   AND bullet_frac < {textstats.GOPHER_MAX_BULLET_FRAC}
+   AND ellipsis_frac < {textstats.GOPHER_MAX_ELLIPSIS_FRAC}
+   AND alpha_word_frac > {textstats.GOPHER_MIN_ALPHA_FRAC}
+   AND stop_hits >= {textstats.GOPHER_MIN_STOP_HITS}) AS passes
+FROM s
+"""
+
+
+SQL_GOPHER_QUALITY = _gopher_sql()
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "gopher_quality": q_gopher_quality,
     "html_metadata": q_html_metadata,
     "url_canonicalize": q_url_canonicalize,
     "decontaminate": q_decontaminate,
@@ -3744,6 +3806,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "html_metadata": SQL_HTML_METADATA,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "decontaminate": SQL_DECONTAMINATE,

@@ -176,3 +176,83 @@ def topic_classify_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+# ------------------------------------------------ Gopher quality rules
+# The published Gopher corpus-filter heuristics (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1): hard per-document
+# gates a web corpus is run through before training. Thresholds are
+# the paper's; every signal is recomputed by the DuckDB oracle with
+# identical int/int IEEE divisions so `passes` is bit-checkable.
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SET = frozenset(GOPHER_STOP)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+_BULLETS = ("- ", "* ", "• ")
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher rule signals + the conjunctive ``passes`` gate.
+
+    Map-only, stateless; ratios are raw int/int divisions. Line-based
+    rules (bullet / ellipsis fractions) split on newlines — on a
+    corpus with no newlines they are exactly 0, matching the oracle.
+    """
+    texts = batch["text"].to_pylist()
+    n_words_c, mean_wl_c, sym_c, bullet_c, ell_c, alpha_c, stop_c, pass_c = (
+        [], [], [], [], [], [], [], []
+    )
+    for t in texts:
+        toks = _RE_TOKEN.findall(t)
+        nt = len(toks)
+        lines = t.split("\n")
+        nl = len(lines)
+        mean_wl = sum(map(len, toks)) / nt if nt else 0.0
+        n_sym = t.count("#") + t.count("...")
+        sym_ratio = n_sym / nt if nt else 0.0
+        n_bullet = sum(l.lstrip().startswith(_BULLETS) for l in lines)
+        n_ell = sum(l.rstrip().endswith("...") for l in lines)
+        bullet_frac = n_bullet / nl
+        ell_frac = n_ell / nl
+        n_alpha = sum(1 for w in toks if _RE_ALPHA.search(w))
+        alpha_frac = n_alpha / nt if nt else 0.0
+        stop_hits = len(_GOPHER_STOP_SET.intersection(
+            _RE_WORD.findall(t.lower())
+        ))
+        n_words_c.append(nt)
+        mean_wl_c.append(mean_wl)
+        sym_c.append(sym_ratio)
+        bullet_c.append(bullet_frac)
+        ell_c.append(ell_frac)
+        alpha_c.append(alpha_frac)
+        stop_c.append(stop_hits)
+        pass_c.append(
+            GOPHER_MIN_WORDS <= nt <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WL <= mean_wl <= GOPHER_MAX_MEAN_WL
+            and sym_ratio < GOPHER_MAX_SYMBOL_RATIO
+            and bullet_frac < GOPHER_MAX_BULLET_FRAC
+            and ell_frac < GOPHER_MAX_ELLIPSIS_FRAC
+            and alpha_frac > GOPHER_MIN_ALPHA_FRAC
+            and stop_hits >= GOPHER_MIN_STOP_HITS
+        )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words_c, pa.int64()),
+            "mean_word_len": pa.array(mean_wl_c, pa.float64()),
+            "symbol_ratio": pa.array(sym_c, pa.float64()),
+            "bullet_frac": pa.array(bullet_c, pa.float64()),
+            "ellipsis_frac": pa.array(ell_c, pa.float64()),
+            "alpha_word_frac": pa.array(alpha_c, pa.float64()),
+            "stop_hits": pa.array(stop_c, pa.int64()),
+            "passes": pa.array(pass_c, pa.bool_()),
+        }
+    )

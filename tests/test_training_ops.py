@@ -295,3 +295,53 @@ def test_minhash_engine_matches_sql_oracle_at_borderline_jaccard(tmp_path):
     assert eng == want
     js = [j for _, _, j in want]
     assert js and min(js) < 0.85, "corpus must exercise the borderline region"
+
+
+# ---------------------------------------------------- Gopher quality
+
+def test_gopher_quality_gate_logic():
+    """The conjunctive gate, exercised with constructed docs (the
+    synthetic corpus vocab holds only one Gopher stopword, so `passes`
+    never varies there — each rule is pinned here instead)."""
+    import pyarrow as pa
+
+    from pdf_to_text_ray.stages.textstats import gopher_quality_batch
+
+    good = "the cat sat have that with " + "word " * 50
+    docs = {
+        "good": good,
+        "too_short": "the cat have that",
+        "long_words": "the have " + "supercalifragilistic " * 60,
+        "symbols": "the have " + "### ... ### ... ## " * 20 + "word " * 40,
+        "bullets": "\n".join("- item the have" for _ in range(10)),
+        "no_alpha": "the have " + "1234 " * 60,
+        "one_stop": "the " + "word " * 60,
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    out = gopher_quality_batch(t).to_pylist()
+    by = dict(zip(docs.keys(), out))
+    assert by["good"]["passes"]
+    assert not by["too_short"]["passes"]  # n_words < 50
+    assert by["long_words"]["mean_word_len"] > 10
+    assert not by["long_words"]["passes"]
+    assert by["symbols"]["symbol_ratio"] >= 0.1
+    assert not by["symbols"]["passes"]
+    assert by["bullets"]["bullet_frac"] == 1.0
+    assert not by["bullets"]["passes"]
+    assert by["no_alpha"]["alpha_word_frac"] < 0.8
+    assert not by["no_alpha"]["passes"]
+    assert by["one_stop"]["stop_hits"] == 1
+    assert not by["one_stop"]["passes"]
+
+
+def test_gopher_quality_sf(sf_dir, documents_df):
+    out = QUERIES["gopher_quality"](sf_dir).to_pandas()
+    assert len(out) == len(documents_df)
+    # signals vary on the corpus even though the stopword gate cannot
+    assert out["n_words"].nunique() > 10
+    assert out["mean_word_len"].between(3, 10).all()
