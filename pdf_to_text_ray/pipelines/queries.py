@@ -3719,9 +3719,64 @@ FROM s
 SQL_GOPHER_QUALITY = _gopher_sql()
 
 
+def q_boilerplate_lines(sf_dir: str):
+    """CCNet-style boilerplate removal by global line doc-frequency:
+    pass 1 reduces the corpus to a small droplist of lines seen in
+    >= 2 distinct docs (map-side partials, budgeted driver merge with
+    distributed-groupby fallback — stages/corpus.py), pass 2 is a
+    map-only filter with the droplist broadcast once via ray.put.
+    Unlike line_dedup (keep-first), no copy of a repeated line
+    survives: repeats are template chrome, not content."""
+    from ..stages import corpus
+
+    docs = _read_documents(sf_dir)
+    drop = corpus.boilerplate_droplist(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+    )
+    drop_ref = ray.put(drop)
+    return docs.map_batches(
+        corpus.make_boiler_filter(drop_ref), batch_format="pyarrow"
+    )
+
+
+SQL_BOILERPLATE_LINES = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+  FROM documents
+), lines AS (
+  SELECT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS line_no,
+         string_agg(word, ' ' ORDER BY ord) AS line
+  FROM words GROUP BY doc_id, (ord - 1) // 10
+), df AS (
+  SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM lines l JOIN df USING (line) WHERE df.ndocs < 2
+), agg AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lines GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.clean_text, '') AS clean_text,
+  CAST(coalesce(t.n_lines, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN tot t USING (doc_id)
+"""
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
     "gopher_quality": q_gopher_quality,
+    "boilerplate_lines": q_boilerplate_lines,
     "html_metadata": q_html_metadata,
     "url_canonicalize": q_url_canonicalize,
     "decontaminate": q_decontaminate,
@@ -3807,6 +3862,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "html_metadata": SQL_HTML_METADATA,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "decontaminate": SQL_DECONTAMINATE,

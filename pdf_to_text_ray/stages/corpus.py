@@ -285,3 +285,130 @@ def make_mix_filter(thresholds: dict[str, int]):
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return mix_batch
+
+
+# ------------------------------------------- boilerplate-line removal
+# CCNet-style sub-document boilerplate removal by GLOBAL line
+# document-frequency: a line appearing in >= BOILER_MIN_DOCS distinct
+# documents is template/boilerplate text and is stripped from every
+# document. Two passes over the corpus (the CCNet shape): a count pass
+# that reduces to a small droplist, then a map-only filter pass.
+# Differs from line_dedup (keep-FIRST occurrence): here no copy
+# survives — repeated lines are navigation chrome, not content.
+BOILER_MIN_DOCS = 2
+# Same driver-merge byte budget rationale as extract.stale_droplist:
+# partial (hash, n) rows merge driver-side with one multithreaded
+# pyarrow group-by while they fit; past the budget the merge degrades
+# to a distributed Ray groupby that reduces to boilerplate hashes
+# (df >= min_docs, a tiny fraction of all lines) before anything
+# reaches the driver.
+BOILER_BUDGET_BYTES = 256 << 20
+
+
+def boiler_partials(batch: pa.Table) -> pa.Table:
+    """Per-block partial doc-frequencies: one vote per (doc, line)."""
+    from ..functions.hashing import md5_hex
+    from .markdown import text_lines
+
+    c: Counter = Counter()
+    for text in batch["text"].to_pylist():
+        for h in {md5_hex(line) for line in text_lines(text)}:
+            c[h] += 1
+    return pa.table(
+        {
+            "line_hash": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def boilerplate_droplist(
+    ds,
+    min_docs: int = BOILER_MIN_DOCS,
+    byte_budget: int = BOILER_BUDGET_BYTES,
+) -> frozenset:
+    """line_hash set with document-frequency >= min_docs.
+
+    Exact because every document's lines live in one row: each doc
+    votes once per distinct line inside its own block, and partial
+    counts sum to the true distinct-doc count.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    partials = ds.map_batches(
+        boiler_partials, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    tables, total = [], 0
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        tables.append(t)
+        total += t.nbytes
+        if total > byte_budget:
+            return _boiler_droplist_shuffled(partials, min_docs)
+    if not tables:
+        return frozenset()
+    merged = (
+        pa.TableGroupBy(
+            pa.concat_tables(tables).combine_chunks(), "line_hash"
+        )
+        .aggregate([("n", "sum")])
+    )
+    keep = merged.filter(pc.greater_equal(merged["n_sum"], min_docs))
+    return frozenset(keep["line_hash"].to_pylist())
+
+
+def _boiler_droplist_shuffled(partials, min_docs: int) -> frozenset:
+    """Distributed merge: reduce to df >= min_docs hashes off-driver."""
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby("line_hash").aggregate(
+        Sum("n", alias_name="df")
+    )
+
+    def only_boiler(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], min_docs)).select(
+            ["line_hash"]
+        )
+
+    out: set = set()
+    for ref in (
+        merged.map_batches(only_boiler, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        out.update(ray.get(ref)["line_hash"].to_pylist())
+    return frozenset(out)
+
+
+def make_boiler_filter(drop_ref):
+    """Map-only filter pass: rebuild each doc from its non-boilerplate
+    lines. The droplist is a ray.put frozenset fetched once per worker
+    (functions/broadcast.py), never re-shipped per batch."""
+    from ..functions.broadcast import cached_get
+    from ..functions.hashing import md5_hex
+    from .markdown import text_lines
+
+    def clean(batch: pa.Table) -> pa.Table:
+        drop = cached_get(drop_ref)
+        ids = batch["doc_id"]
+        cleaned, n_removed = [], []
+        for text in batch["text"].to_pylist():
+            lines = text_lines(text)
+            kept = [l for l in lines if md5_hex(l) not in drop]
+            cleaned.append(" ".join(kept))
+            n_removed.append(len(lines) - len(kept))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "clean_text": pa.array(cleaned, pa.string()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return clean

@@ -351,3 +351,51 @@ def test_pack_sequences_parallelism_invariant(sf_dir):
         )
 
     assert run(1) == run(13)
+
+
+# ------------------------------------------- boilerplate-line removal
+
+def test_boilerplate_droplist_regimes_identical(sf_dir):
+    """Driver-merge and distributed-groupby merges produce the same
+    droplist (byte_budget=0 forces the shuffled path)."""
+    import ray.data
+
+    from pdf_to_text_ray.stages.corpus import boilerplate_droplist
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    fast = boilerplate_droplist(ds)
+    slow = boilerplate_droplist(ds, byte_budget=0)
+    assert fast == slow
+    assert len(fast) > 0  # the sf corpus does repeat lines across docs
+
+
+def test_boilerplate_filter_semantics():
+    """No copy of a repeated line survives; unique lines unharmed."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pdf_to_text_ray.stages.corpus import (
+        boilerplate_droplist,
+        make_boiler_filter,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        shared + " one two three four five six seven eight nine ten",
+        shared + " uno dos tres cuatro cinco seis siete ocho nueve diez",
+        "only unique words here nothing repeated across any other doc x",
+    ]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(t)
+    drop = boilerplate_droplist(ds)
+    out = (
+        ds.map_batches(make_boiler_filter(ray.put(drop)),
+                       batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_removed"].tolist() == [1, 1, 0]
+    assert shared not in out["clean_text"][0]
+    assert shared not in out["clean_text"][1]
+    assert out["clean_text"][2] == docs[2]
