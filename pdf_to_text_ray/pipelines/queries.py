@@ -3773,8 +3773,93 @@ LEFT JOIN tot t USING (doc_id)
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style LM quality proxy: fit a unigram model on the corpus
+    (pass 1 → bounded vocab, driver merge), broadcast it once, score
+    every doc map-side (pass 2). avg ln-prob per doc, 6-dp rounded."""
+    from ..stages.textstats import make_unigram_scorer, unigram_model
+
+    model = unigram_model(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+    )
+    model_ref = ray.put(model)
+    return _read_documents(sf_dir).map_batches(
+        make_unigram_scorer(model_ref), batch_format="pyarrow"
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT sum(c) AS n FROM vocab
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         round(avg(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+           AS avg_logprob
+  FROM words JOIN vocab USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(s.n_words, 0) AS n_words,
+  coalesce(s.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-doc keyword extraction: top-3 terms by tf x micro-idf
+    (integer scoring — no float decides an ordering). Two passes:
+    df-vocab reduce + broadcast, then map-side scoring."""
+    from ..stages.textstats import idf_table, make_tfidf_scorer
+
+    texts = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    idf_ref = ray.put(idf_table(texts, n_docs))
+    return _read_documents(sf_dir).map_batches(
+        make_tfidf_scorer(idf_ref), batch_format="pyarrow"
+    )
+
+
+SQL_TFIDF_TERMS = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, w AS term, tf,
+    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                    * 1000000) AS BIGINT) AS score
+  FROM tf JOIN df USING (w) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "tfidf_terms": q_tfidf_terms,
+    "unigram_logprob": q_unigram_logprob,
     "gopher_quality": q_gopher_quality,
     "boilerplate_lines": q_boilerplate_lines,
     "html_metadata": q_html_metadata,
@@ -3861,6 +3946,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
     "html_metadata": SQL_HTML_METADATA,

@@ -256,3 +256,176 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
             "passes": pa.array(pass_c, pa.bool_()),
         }
     )
+
+
+# ------------------------------------------ unigram LM quality score
+# CCNet-style language-model quality proxy (Wenzek et al. 2020 score
+# documents with a small LM and keep by perplexity band): here the LM
+# is a unigram model fit on the corpus itself — two passes, exactly
+# the boilerplate-droplist shape. Pass 1 reduces to a (word, count)
+# vocabulary (map-side partials, driver pyarrow merge — the vocab is
+# the bounded object, not the corpus; a production run would prune
+# rare words to a floor probability before broadcast). Pass 2 scores
+# each doc map-side with the broadcast model: avg over its words of
+# ln(count(w)/total), rounded to 6 dp (the cosine-similarity rounding
+# convention — DuckDB's ln/avg agree with numpy's well past 6 dp).
+
+def unigram_partials(batch: pa.Table) -> pa.Table:
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        c.update(_RE_WORD.findall(t.lower()))
+    return pa.table(
+        {
+            "word": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def unigram_model(ds) -> dict[str, float]:
+    """word -> ln(count/total) over the corpus' [a-z]+ words."""
+    import math
+
+    import ray
+
+    tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                unigram_partials, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return {}
+    merged = pa.TableGroupBy(
+        pa.concat_tables(tables).combine_chunks(), "word"
+    ).aggregate([("n", "sum")])
+    total = sum(merged["n_sum"].to_pylist())
+    return {
+        w: math.log(n / total)
+        for w, n in zip(
+            merged["word"].to_pylist(), merged["n_sum"].to_pylist()
+        )
+    }
+
+
+def make_unigram_scorer(model_ref):
+    """Map-only scoring pass; the model dict is fetched once per
+    worker from the local object store."""
+    from ..functions.broadcast import cached_get
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = cached_get(model_ref)
+        n_words, lps = [], []
+        for t in batch["text"].to_pylist():
+            words = _RE_WORD.findall(t.lower())
+            n_words.append(len(words))
+            lps.append(
+                round(sum(model[w] for w in words) / len(words), 6)
+                if words
+                else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "avg_logprob": pa.array(lps, pa.float64()),
+            }
+        )
+
+    return score
+
+
+# ------------------------------------------------- tf-idf top terms
+# Per-doc keyword extraction: top-K terms by tf * idf. Ranking must be
+# bit-identical between numpy and DuckDB, so idf is quantized to an
+# integer micro-idf = floor(ln(N/df) * 1e6 + 0.5) (DuckDB round()
+# semantics: half away from zero; ln(N/df) >= 0) and scores are pure
+# int64 products — float comparisons never decide an ordering.
+# df-counts reuse the exact-distinct trick: every doc's words live in
+# one row, so per-block distinct-doc partials sum to the true df.
+TFIDF_TOP_K = 3
+
+
+def df_partials(batch: pa.Table) -> pa.Table:
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        c.update(set(_RE_WORD.findall(t.lower())))
+    return pa.table(
+        {
+            "word": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def idf_table(ds, n_docs: int) -> dict[str, int]:
+    """word -> micro-idf over the corpus (driver merge of per-block
+    distinct-doc partials; the vocab is the bounded object)."""
+    import math
+
+    import ray
+
+    tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                df_partials, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return {}
+    merged = pa.TableGroupBy(
+        pa.concat_tables(tables).combine_chunks(), "word"
+    ).aggregate([("n", "sum")])
+    return {
+        w: int(math.floor(math.log(n_docs / df) * 1_000_000 + 0.5))
+        for w, df in zip(
+            merged["word"].to_pylist(), merged["n_sum"].to_pylist()
+        )
+    }
+
+
+def make_tfidf_scorer(idf_ref, top_k: int = TFIDF_TOP_K):
+    """Map-only pass 2: per-doc tf counts x broadcast micro-idf,
+    integer sort, emit the top_k (score DESC, term ASC) rows."""
+    from collections import Counter
+
+    from ..functions.broadcast import cached_get
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf = cached_get(idf_ref)
+        ids, terms, tfs, scores, ranks = [], [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts = Counter(_RE_WORD.findall(t.lower()))
+            top = sorted(
+                ((w, tf, tf * idf[w]) for w, tf in counts.items()),
+                key=lambda x: (-x[2], x[0]),
+            )[:top_k]
+            for r, (w, tf, s) in enumerate(top, 1):
+                ids.append(did)
+                terms.append(w)
+                tfs.append(tf)
+                scores.append(s)
+                ranks.append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return score

@@ -345,3 +345,76 @@ def test_gopher_quality_sf(sf_dir, documents_df):
     # signals vary on the corpus even though the stopword gate cannot
     assert out["n_words"].nunique() > 10
     assert out["mean_word_len"].between(3, 10).all()
+
+
+# ------------------------------------------------- unigram LM scoring
+
+def test_unigram_model_is_probability(sf_dir):
+    import math
+
+    import ray.data
+
+    from pdf_to_text_ray.stages.textstats import unigram_model
+
+    model = unigram_model(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+    assert model
+    # probabilities sum to ~1 when weighted by their own counts ->
+    # simply check all logprobs negative and the max word is common
+    assert all(lp < 0 for lp in model.values())
+    assert math.exp(max(model.values())) < 1.0
+
+
+def test_unigram_scores_rank_rare_docs_lower():
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pdf_to_text_ray.stages.textstats import (
+        make_unigram_scorer,
+        unigram_model,
+    )
+
+    docs = ["common common common common"] * 5 + ["rare common common common"]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(t)
+    model = unigram_model(ds)
+    out = (
+        ds.map_batches(make_unigram_scorer(ray.put(model)),
+                       batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["avg_logprob"][5] < out["avg_logprob"][0]
+
+
+# ----------------------------------------------------- tf-idf terms
+
+def test_tfidf_ranks_distinctive_terms_first():
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pdf_to_text_ray.stages.textstats import idf_table, make_tfidf_scorer
+
+    docs = [
+        "shared shared shared unique alpha alpha",
+        "shared shared shared beta",
+        "shared shared shared gamma",
+    ]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(t)
+    idf = idf_table(ds, 3)
+    assert idf["shared"] == 0  # df == N -> idf 0
+    out = (
+        ds.map_batches(make_tfidf_scorer(ray.put(idf)),
+                       batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = out[(out["doc_id"] == 0) & (out["rank"] == 1)].iloc[0]
+    # alpha (tf=2, rare) outranks shared (tf=3, idf 0) and unique (tf=1)
+    assert top["term"] == "alpha"
+    rank2 = out[(out["doc_id"] == 0) & (out["rank"] == 2)].iloc[0]
+    assert rank2["term"] == "unique"
