@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "ann_cosine_topk",
     "lsh_topk",
+    "ivf_topk",
     "embedding_near_dups",
     "embedding_near_dups_lsh",
     "events_hourly",
@@ -88,6 +89,11 @@ BENCH_QUERIES = [
     "topic_classify",
     "pii_redact",
     "repetition_stats",
+    "gopher_quality",
+    "boilerplate_lines",
+    "unigram_logprob",
+    "tfidf_terms",
+    "html_metadata",
     "doclen_quantiles",
     "top_words",
     "sentence_split",

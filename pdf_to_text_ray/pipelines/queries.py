@@ -3856,8 +3856,75 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (the coarse-quantizer scale path next to
+    lsh_topk): 8 deterministic centroids partition the candidates
+    into lists; each query probes its 2 nearest lists. Fused
+    assign+probe+score inside map_batches — no shuffle."""
+    from ..stages.similarity import ivf_topk
+
+    queries_ref = ray.put(_query_vectors(sf_dir, 5))
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cands = emb.filter(pc.greater_equal(emb["vec_id"], pa.scalar(5)))
+    cent_t = cands.sort_by("vec_id").slice(0, 8)
+    centroids = {
+        int(i): v
+        for i, v in zip(
+            cent_t["vec_id"].to_pylist(), cent_t["embedding"].to_pylist()
+        )
+    }
+    centroids_ref = ray.put(centroids)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], pa.scalar(5))),
+        batch_format="pyarrow",
+    )
+    return ivf_topk(ds, queries_ref, centroids_ref, k=10, nprobe=2)
+
+
+SQL_IVF_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id >= 5
+), cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8
+), assign AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT c.vec_id, c.e, cent.cid,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY list_cosine_similarity(c.e, cent.ce) DESC, cent.cid
+      ) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+), probe AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.query_id, q.qe, cent.cid,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(q.qe, cent.ce) DESC, cent.cid
+      ) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+    round(list_cosine_similarity(p.qe, a.e), 6) AS sim,
+    row_number() OVER (PARTITION BY p.query_id
+      ORDER BY list_cosine_similarity(p.qe, a.e) DESC, a.vec_id
+    ) AS rank
+  FROM probe p JOIN assign a ON a.cid = p.cid
+)
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10
+"""
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
     "unigram_logprob": q_unigram_logprob,
     "gopher_quality": q_gopher_quality,
@@ -3946,6 +4013,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "gopher_quality": SQL_GOPHER_QUALITY,

@@ -346,3 +346,150 @@ def embedding_near_dups_lsh(
     return tagged.groupby("bucket").map_groups(
         _pairs_within_bucket(threshold), batch_format="pyarrow"
     )
+
+
+# ---------- IVF-bucketed variant (coarse-quantizer scale path) ----------
+
+class IVFTopK:
+    """IVF (inverted-file) ANN: a small set of coarse centroids
+    partitions the corpus into lists; each query probes only its
+    `nprobe` nearest lists and scores only those vectors.
+
+    Fused assign+probe+score per batch — the [n, nlist] routing matmul
+    assigns each row to its nearest centroid, rows in no probed list
+    are dropped before scoring, and each survivor is scored only
+    against the queries probing its list. Same no-shuffle shape as
+    BucketTopK; the difference is data-adaptive lists (centroids from
+    the corpus) vs data-oblivious hyperplane signs.
+
+    Centroids are a deterministic corpus subset (lowest vec_ids) so
+    the DuckDB oracle is exact; a production index would k-means them
+    — the routing/probe plumbing is identical either way.
+    """
+
+    def __init__(self, queries_ref, centroids_ref, nprobe: int = 2,
+                 k: int = 10):
+        q = ray.get(queries_ref)
+        cents = ray.get(centroids_ref)  # dict cid -> np.ndarray [d]
+        self._cids = np.asarray(sorted(cents), dtype=np.int64)
+        cm = np.stack(
+            [np.asarray(cents[i], dtype=np.float64) for i in self._cids]
+        )
+        cnorms = np.linalg.norm(cm, axis=1, keepdims=True)
+        cnorms[cnorms == 0] = 1.0
+        self._cm = cm / cnorms  # [nlist, d]
+        self._k = k
+        qids = sorted(q)
+        qm = np.stack([np.asarray(q[i], dtype=np.float64) for i in qids])
+        qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+        qnorms[qnorms == 0] = 1.0
+        qm = qm / qnorms
+        # probe sets: nprobe nearest centroids per query
+        qsims = qm @ self._cm.T  # [Q, nlist]
+        # argsort (-sim, cid): nearest first, cid asc on ties
+        probe_order = np.lexsort(
+            (np.broadcast_to(self._cids, qsims.shape), -qsims), axis=-1
+        )[:, :nprobe]
+        # per-list query groups: list index -> (query_ids, query_matrix)
+        grouped: dict[int, list[int]] = {}
+        for pos, qid in enumerate(qids):
+            for li in probe_order[pos]:
+                grouped.setdefault(int(li), []).append(pos)
+        self._by_list: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            li: (
+                np.asarray([qids[p] for p in poss], dtype=np.int64),
+                qm[poss],
+            )
+            for li, poss in grouped.items()
+        }
+        self._wanted = np.asarray(sorted(self._by_list), dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        # assignment: argmax cosine vs centroids, centroid-id asc ties
+        csims = m @ self._cm.T  # [n, nlist]
+        assign = np.lexsort(
+            (np.broadcast_to(self._cids, csims.shape), -csims), axis=-1
+        )[:, 0]
+        keep = np.isin(assign, self._wanted)
+        if not keep.any():
+            return empty
+        m = m[keep]
+        sub_assign = assign[keep]
+        sub_ids = batch["vec_id"].to_numpy()[keep]
+        out_q, out_v, out_s = [], [], []
+        for li, (qids, qm) in self._by_list.items():
+            sel = sub_assign == li
+            if not sel.any():
+                continue
+            ids_l = sub_ids[sel]
+            sims = m[sel] @ qm.T
+            k = min(self._k, sims.shape[0])
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                idx = np.lexsort((ids_l, -col))[:k]
+                out_q.extend([int(qid)] * len(idx))
+                out_v.extend(ids_l[idx].tolist())
+                out_s.extend(col[idx].tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _ivf_score_task(
+    batch: pa.Table,
+    queries_ref=None,
+    centroids_ref=None,
+    nprobe: int = 2,
+    k: int = 10,
+) -> pa.Table:
+    sc = _cached_build(
+        ("ivf_topk", queries_ref.hex(), centroids_ref.hex(), nprobe, k),
+        lambda: IVFTopK(queries_ref, centroids_ref, nprobe, k),
+    )
+    return sc(batch)
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries_ref,
+    centroids_ref,
+    k: int = 10,
+    nprobe: int = 2,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: queries probe `nprobe` of the coarse
+    lists; vectors in unprobed lists never reach a scoring matmul.
+    Complements lsh_topk: IVF adapts its partitions to the data
+    (recall concentrates where vectors cluster) where LSH is
+    oblivious. Deduplicate (query, vec) before the merge is NOT
+    needed — a vector lives in exactly one list."""
+    local = ds.map_batches(
+        _ivf_score_task,
+        fn_kwargs={
+            "queries_ref": queries_ref,
+            "centroids_ref": centroids_ref,
+            "nprobe": nprobe,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return local.groupby("query_id").map_groups(
+        _topk_per_query(k), batch_format="pandas"
+    )

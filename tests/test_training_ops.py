@@ -418,3 +418,20 @@ def test_tfidf_ranks_distinctive_terms_first():
     assert top["term"] == "alpha"
     rank2 = out[(out["doc_id"] == 0) & (out["rank"] == 2)].iloc[0]
     assert rank2["term"] == "unique"
+
+
+def test_ivf_topk_recall_and_sims(sf_dir):
+    brute = QUERIES["ann_cosine_topk"](sf_dir).take_all()
+    ivf = QUERIES["ivf_topk"](sf_dir).take_all()
+    assert len(ivf) == len(brute) == 50
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    a = {(r["query_id"], r["vec_id"]) for r in ivf}
+    # 2-of-8 probed lists on random vectors: recall bounded low but real
+    assert len(a & b) / len(b) >= 0.1
+    bsim = {(r["query_id"], r["vec_id"]): r["sim"] for r in brute}
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in bsim:
+            assert abs(r["sim"] - bsim[key]) < 1e-9
+    # every vector lives in exactly one list -> no (query, vec) dup
+    assert len(a) == len(ivf)
