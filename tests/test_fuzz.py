@@ -137,3 +137,58 @@ def test_canonicalize_url_never_crashes_and_is_idempotent(s):
         out = canonicalize_url(candidate)
         assert isinstance(out, str)
         assert canonicalize_url(out) == out
+
+
+# -------------------------------------------- text-op totality (new ops)
+
+@hypothesis.given(st.text(max_size=400))
+@SETTINGS
+def test_gopher_quality_total_on_arbitrary_text(text):
+    """gopher_quality_batch is total: any unicode doc yields one row
+    with ratios in [0, 1] and finite mean word length."""
+    import math
+
+    import pyarrow as pa
+
+    from pdf_to_text_ray.stages.textstats import gopher_quality_batch
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text], pa.string())})
+    out = gopher_quality_batch(t).to_pylist()[0]
+    for col in ("symbol_ratio", "bullet_frac", "ellipsis_frac",
+                "alpha_word_frac"):
+        assert 0.0 <= out[col] or out[col] >= 0.0  # no NaN
+        assert math.isfinite(out[col])
+    assert math.isfinite(out["mean_word_len"])
+    assert out["bullet_frac"] <= 1.0 and out["ellipsis_frac"] <= 1.0
+
+
+@hypothesis.given(st.lists(st.text(max_size=120), min_size=1, max_size=5))
+@hypothesis.settings(max_examples=20, derandomize=True, deadline=None)
+def test_tfidf_and_unigram_total(texts):
+    """idf_table / unigram model builders + scorers are total over
+    arbitrary docs (incl. empty / no-word docs) and every doc scores."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from pdf_to_text_ray.stages.textstats import (
+        idf_table,
+        make_tfidf_scorer,
+        make_unigram_scorer,
+        unigram_model,
+    )
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    idf = idf_table(ds, len(texts))
+    model = unigram_model(ds)
+    tf_out = ds.map_batches(
+        make_tfidf_scorer(ray.put(idf)), batch_format="pyarrow"
+    ).to_pandas()
+    un_out = ds.map_batches(
+        make_unigram_scorer(ray.put(model)), batch_format="pyarrow"
+    ).to_pandas()
+    assert len(un_out) == len(texts)
+    assert (tf_out["rank"] <= 3).all() if len(tf_out) else True
