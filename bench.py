@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "boilerplate_lines",
     "unigram_logprob",
+    "ccnet_buckets",
     "tfidf_terms",
     "html_metadata",
     "doclen_quantiles",

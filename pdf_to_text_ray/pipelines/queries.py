@@ -3922,8 +3922,94 @@ FROM scored WHERE rank <= 10
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail bucketing: per-language terciles of the
+    unigram-LM score, computed as an EXACT distributed grouped ntile
+    with bounded driver state (stages/ranking.py — score-histogram
+    merge + boundary-tie resolution; no global sort, no shuffle).
+    tile 3 = highest logprob = 'head' (CCNet keeps the head)."""
+    from ..stages.ranking import ntile_by_group
+    from ..stages.textstats import make_unigram_scorer, unigram_model
+
+    model_ref = ray.put(
+        unigram_model(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["text"]
+            )
+        )
+    )
+    scorer = make_unigram_scorer(model_ref)
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = scorer(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "group": batch["lang"],
+                "score": out["avg_logprob"],
+            }
+        )
+
+    scored = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(score, batch_format="pyarrow")
+    tiled = ntile_by_group(scored, 3)
+
+    def label(batch: pa.Table) -> pa.Table:
+        tiles = batch["tile"]
+        names = pa.array(
+            [
+                "tail" if t == 1 else ("middle" if t == 2 else "head")
+                for t in tiles.to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["group"],
+                "avg_logprob": batch["score"],
+                "tile": tiles,
+                "bucket": names,
+            }
+        )
+
+    return tiled.map_batches(label, batch_format="pyarrow")
+
+
+SQL_CCNET_BUCKETS = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT sum(c) AS n FROM vocab
+), scored AS (
+  SELECT doc_id,
+         round(avg(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+           AS avg_logprob
+  FROM words JOIN vocab USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+), filled AS (
+  SELECT d.doc_id, d.lang, coalesce(s.avg_logprob, 0.0) AS avg_logprob
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+), tiled AS (
+  SELECT *, ntile(3) OVER (
+    PARTITION BY lang ORDER BY avg_logprob, doc_id) AS tile
+  FROM filled
+)
+SELECT doc_id, lang, avg_logprob, CAST(tile AS BIGINT) AS tile,
+  CASE tile WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+       ELSE 'head' END AS bucket
+FROM tiled
+"""
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
     "unigram_logprob": q_unigram_logprob,
@@ -4013,6 +4099,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,

@@ -435,3 +435,70 @@ def test_ivf_topk_recall_and_sims(sf_dir):
             assert abs(r["sim"] - bsim[key]) < 1e-9
     # every vector lives in exactly one list -> no (query, vec) dup
     assert len(a) == len(ivf)
+
+
+# ------------------------------------- distributed grouped ntile (CCNet)
+
+def test_ntile_by_group_matches_reference():
+    """Randomized trials: the bounded-state distributed ntile equals
+    a driver-side sort-based ANSI ntile (ties by doc_id, first n%k
+    tiles get the extra row) across tie-heavy score distributions."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_to_text_ray.stages.ranking import ntile_by_group
+
+    def ref_ntile(rows, k):
+        out, bygroup = {}, {}
+        for d, g, s in rows:
+            bygroup.setdefault(g, []).append((s, d))
+        for g, lst in bygroup.items():
+            lst.sort()
+            n = len(lst)
+            q, r = divmod(n, k)
+            sizes = [q + 1] * r + [q] * (k - r)
+            i = 0
+            for tile, sz in enumerate(sizes, 1):
+                for _ in range(sz):
+                    out[(g, lst[i][1])] = tile
+                    i += 1
+        return out
+
+    rng = random.Random(42)
+    for _ in range(8):
+        n = rng.randint(1, 60)
+        k = rng.choice([2, 3, 4])
+        rows = [
+            (i, rng.choice("ab"),
+             round(rng.choice([0.1, 0.15, 0.2, 0.25, 0.3]), 6))
+            for i in range(n)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "group": pa.array([r[1] for r in rows], pa.string()),
+                "score": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        got = {
+            (r["group"], r["doc_id"]): r["tile"]
+            for r in ntile_by_group(ray.data.from_arrow(t), k).take_all()
+        }
+        assert got == ref_ntile(rows, k)
+
+
+def test_ccnet_buckets_balanced(sf_dir):
+    out = QUERIES["ccnet_buckets"](sf_dir).to_pandas()
+    assert len(out) == 500
+    sizes = out.groupby(["lang", "bucket"]).size()
+    # terciles within each lang differ by at most 1
+    for lang, grp in out.groupby("lang"):
+        counts = grp["bucket"].value_counts()
+        assert counts.max() - counts.min() <= 1
+        # head holds the highest scores
+        assert (
+            grp[grp.bucket == "head"]["avg_logprob"].min()
+            >= grp[grp.bucket == "tail"]["avg_logprob"].max()
+        )
