@@ -4007,8 +4007,75 @@ FROM tiled
 """
 
 
+def q_fuzzy_dedup(sf_dir: str):
+    """End-to-end fuzzy dedup (the RefinedWeb/FineWeb MinHash stage as
+    one op): verified near-dup pairs -> distributed connected
+    components -> keep each cluster's min-doc_id representative, drop
+    the rest. The drop set (non-representative members — a small
+    fraction of any real corpus) reduces off-driver and broadcasts;
+    the corpus itself never shuffles (same anti-join shape as
+    parts_no_early_shipment)."""
+    clusters = q_dup_clusters(sf_dir)
+
+    def losers(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.not_equal(t["doc_id"], t["cluster_id"])
+        ).select(["doc_id"])
+
+    drop_tables = [
+        t
+        for t in ray.get(
+            clusters.map_batches(losers, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    drop = (
+        pa.concat_tables(drop_tables)["doc_id"].combine_chunks()
+        if drop_tables
+        else pa.chunked_array([pa.array([], pa.int64())])
+    )
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+
+        d = cached_get(drop_ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch["doc_id"], value_set=d))
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+# Survivor set = every document that is not a non-representative
+# member of a near-dup cluster; clusters come from the same recursive
+# closure as SQL_DUP_CLUSTERS over the inlined MinHash pair SQL.
+SQL_FUZZY_DEDUP = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), clusters AS (
+  SELECT CAST(node AS BIGINT) AS doc_id,
+         CAST(min(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
+
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "fuzzy_dedup": q_fuzzy_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4099,6 +4166,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

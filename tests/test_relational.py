@@ -196,3 +196,24 @@ def test_distributed_clusters_match_unionfind_on_corpus(sf_dir):
     ]
     want = relational.cluster_pairs(pairs)
     assert got == want and got
+
+
+def test_fuzzy_dedup_keeps_cluster_representatives(sf_dir):
+    """fuzzy_dedup drops exactly the non-representative members of
+    every near-dup cluster and nothing else."""
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_ray.pipelines.queries import q_dup_clusters, q_fuzzy_dedup
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in q_dup_clusters(sf_dir).take_all()
+    }
+    losers = {d for d, c in clusters.items() if d != c}
+    all_ids = set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+    )
+    kept = {r["doc_id"] for r in q_fuzzy_dedup(sf_dir).take_all()}
+    assert kept == all_ids - losers
+    assert losers and losers.isdisjoint(kept)
