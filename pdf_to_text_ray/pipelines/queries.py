@@ -101,6 +101,89 @@ WITH base AS (
 SQL_EXTRACT_E2E = _E2E_BASE + "SELECT * FROM expected"
 
 
+def _e2e_project(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The extract_e2e output projection (whitespace-normalized text),
+    shared by the parquet- and WARC-sourced extraction queries."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": pc.replace_substring(t["text"], "\n", " "),
+                "doc_type": t["doc_type"],
+                "lang": t["lang"],
+                "n_pages": t["n_pages"],
+                "n_chars": t["n_chars"],
+                "parse_ok": t["parse_ok"],
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _warc_shard_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch dir for serialized shards, keyed by corpus
+    identity + format version; wiped before each write so a stale block
+    layout can never mix old shards into a read."""
+    import shutil
+
+    from ..sources.warc import WARC_FORMAT_VERSION
+
+    nrows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = f"/tmp/ptr_warc/v{WARC_FORMAT_VERSION}_{kind}_{base}_{nrows}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def q_warc_extract(sf_dir: str):
+    """Full WARC-container round: synthesized crawl table -> gzipped
+    WARC/1.0 response shards on disk (sources/warc.py, Common Crawl's
+    member-per-record convention) -> ``read_warc`` (one task per
+    shard) -> the SAME sniff/extract/OCR/dedup/combine pipeline as
+    extract_e2e, via the shuffle-dedup path (stale re-crawls are in
+    the shards; the groupby finalize dedups them without a second pass
+    over the files). Oracle: identical to extract_e2e — the container
+    must be transparent."""
+    from ..sources.warc import read_warc, write_warc_shards
+    from .extract import extract_pipeline
+
+    out = _warc_shard_dir(sf_dir, "warc")
+    write_warc_shards(synthesize_docs(sf_dir), out)
+    return _e2e_project(extract_pipeline(read_warc(out)))
+
+
+SQL_WARC_EXTRACT = _E2E_BASE + "SELECT * FROM expected"
+
+
+def q_wet_roundtrip(sf_dir: str):
+    """Extraction output -> WET shards (Common Crawl's extracted-text
+    sidecar: ``conversion`` records, text/plain payloads) -> read back
+    -> (url, text, lang, n_chars). n_chars is recomputed from the
+    round-tripped text, so the oracle match proves the text survived
+    serialization byte-for-byte (separators replace single spaces 1:1,
+    keeping char counts equal to the source text)."""
+    from ..sources.warc import read_wet, write_wet_shards
+
+    out = _warc_shard_dir(sf_dir, "wet")
+    write_wet_shards(run_extraction(sf_dir), out)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": pc.replace_substring(t["text"], "\n", " "),
+                "lang": t["lang"],
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    return read_wet(out).map_batches(project, batch_format="pyarrow")
+
+
+SQL_WET_ROUNDTRIP = _E2E_BASE + "SELECT url, text, lang, n_chars FROM expected"
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain curation stats over the extraction output: host
     parsed from the url (vectorized Arrow regex), then counts /
@@ -4075,6 +4158,8 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "warc_extract": q_warc_extract,
+    "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
@@ -4166,6 +4251,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "warc_extract": SQL_WARC_EXTRACT,
+    "wet_roundtrip": SQL_WET_ROUNDTRIP,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,

@@ -1,0 +1,96 @@
+"""WARC/WET container round-trip and hardening tests."""
+
+import gzip
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pdf_to_text_ray.pipelines.extract import synthesize_docs
+from pdf_to_text_ray.sources import warc as W
+
+
+def test_record_bytes_deterministic_and_parseable():
+    payload = b"<html>\r\n<body>x \xff\x00 tricky</body></html>"
+    rec = W.warc_record_bytes(
+        "https://a.example/p", 1_700_000_000_123_456, payload, "en"
+    )
+    assert rec == W.warc_record_bytes(
+        "https://a.example/p", 1_700_000_000_123_456, payload, "en"
+    )
+    [(headers, block)] = list(W._iter_records(rec))
+    assert headers["WARC-Target-URI"] == "https://a.example/p"
+    assert headers["WARC-Identified-Content-Language"] == "en"
+    assert W._parse_date_us(headers["WARC-Date"]) == 1_700_000_000_123_456
+    # HTTP body slice is exact even with \r\n\r\n inside the payload
+    assert W._http_payload(block) == payload
+
+
+def test_record_roundtrips_payload_containing_separator():
+    payload = b"a\r\n\r\nb" * 10
+    rec = W.warc_record_bytes("u", 5, payload, "")
+    [(_, block)] = list(W._iter_records(rec))
+    assert W._http_payload(block) == payload
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",
+        b"not a warc at all",
+        b"WARC/1.0\r\nContent-Length: nope\r\n\r\nxx",
+        b"WARC/1.0\r\nContent-Length: 10\r\n\r\nshort",  # truncated block
+        gzip.compress(b"WARC/1.0\r\n\r\n"),
+    ],
+)
+def test_parser_never_crashes_on_junk(junk):
+    t = pa.table({"bytes": pa.array([junk], pa.binary())})
+    out = W._parse_warc_batch(t)
+    assert out.num_rows == 0 or out.column_names[0] == "url"
+
+
+def _record_set(t: pa.Table):
+    return {
+        (u, ts, lg, hashlib.md5(p or b"").hexdigest())
+        for u, ts, p, lg in zip(
+            t["url"].to_pylist(),
+            t["warc_ts"].cast(pa.int64()).to_pylist(),
+            t["html"].to_pylist(),
+            t["lang"].to_pylist(),
+        )
+    }
+
+
+def test_warc_shard_roundtrip_matches_source(sf_dir, tmp_path):
+    src = synthesize_docs(sf_dir)
+    manifest = W.write_warc_shards(src, str(tmp_path))
+    assert manifest.num_rows >= 1
+    assert int(pa.compute.sum(manifest["n_records"]).as_py()) > 500
+    back = pa.concat_tables(
+        [
+            b
+            for b in ray.get(W.read_warc(str(tmp_path)).to_arrow_refs())
+            if b.num_rows
+        ]
+    )
+    want = pa.concat_tables(
+        [b for b in ray.get(synthesize_docs(sf_dir).to_arrow_refs()) if b.num_rows]
+    )
+    assert _record_set(back) == _record_set(want)
+
+
+def test_wet_roundtrip_preserves_newlines(tmp_path):
+    t = pa.table(
+        {
+            "url": pa.array(["https://x/1", "https://x/2"], pa.string()),
+            "warc_ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array(["line one\nline two\n\nthree", ""], pa.string()),
+            "lang": pa.array(["en", "de"], pa.string()),
+        }
+    )
+    W.write_wet_shards(ray.data.from_arrow(t), str(tmp_path))
+    back = W.read_wet(str(tmp_path)).to_pandas().sort_values("url")
+    assert list(back["text"]) == ["line one\nline two\n\nthree", ""]
+    assert list(back["lang"]) == ["en", "de"]
