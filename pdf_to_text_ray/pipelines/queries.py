@@ -4133,6 +4133,100 @@ def q_fuzzy_dedup(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weighting (Xie et al. 2023): per-doc
+    length-normalized log-likelihood ratio of a target-domain (lang
+    'en') unigram model vs the whole-corpus model, Laplace-smoothed
+    over the joint vocab. One counting pass feeds both models; the
+    ratio table broadcasts once; scoring is map-only."""
+    from ..stages.textstats import dsir_model, make_dsir_scorer
+
+    model = dsir_model(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+        ),
+        target_lang="en",
+    )
+    model_ref = ray.put(model)
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(make_dsir_scorer(model_ref), batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = """
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cs,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+  FROM words GROUP BY w
+), tot AS (
+  SELECT sum(cs) AS s, sum(ct) AS t, count(*) AS v FROM vocab
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         round(avg(
+           ln((CAST(ct AS DOUBLE) + 1) / CAST(t + v AS DOUBLE))
+           - ln((CAST(cs AS DOUBLE) + 1) / CAST(s + v AS DOUBLE))
+         ), 6) AS log_weight
+  FROM words JOIN vocab USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(s.n_words, 0) AS n_words,
+       coalesce(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_dup_ngram_spans(sf_dir: str):
+    """Exact-substring duplication proxy (Lee et al. 2021 / RefinedWeb
+    exact-substring stage): word 5-grams occurring in >= 2 distinct
+    docs mark duplicated spans; per doc emit total 5-gram positions,
+    duplicated positions, and the duplicated fraction. Two passes:
+    bounded-budget df droplist over hashed n-grams (stages/corpus.py),
+    then a map-only scoring pass with the droplist broadcast once."""
+    from ..stages import corpus
+
+    docs = _read_documents(sf_dir)
+    dup = corpus.dup_ngram_set(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+    dup_ref = ray.put(dup)
+    return docs.map_batches(
+        corpus.make_ngram_span_counter(dup_ref), batch_format="pyarrow"
+    )
+
+
+SQL_DUP_NGRAM_SPANS = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+           || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(w, 4) OVER win IS NOT NULL
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE g IN (SELECT g FROM dup)) AS BIGINT)
+           AS n_dup
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_dup, 0) AS n_dup,
+       CASE WHEN p.n_grams IS NULL THEN NULL
+            ELSE p.n_dup / p.n_grams END AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # Survivor set = every document that is not a non-representative
 # member of a near-dup cluster; clusters come from the same recursive
 # closure as SQL_DUP_CLUSTERS over the inlined MinHash pair SQL.
@@ -4161,6 +4255,8 @@ QUERIES = {
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "dsir_weights": q_dsir_weights,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4254,6 +4350,8 @@ ORACLE_SQL = {
     "warc_extract": SQL_WARC_EXTRACT,
     "wet_roundtrip": SQL_WET_ROUNDTRIP,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
+    "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

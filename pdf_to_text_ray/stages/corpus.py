@@ -322,23 +322,28 @@ def boiler_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def boilerplate_droplist(
+def df_droplist(
     ds,
+    partial_fn,
+    key: str,
     min_docs: int = BOILER_MIN_DOCS,
     byte_budget: int = BOILER_BUDGET_BYTES,
 ) -> frozenset:
-    """line_hash set with document-frequency >= min_docs.
+    """Generic document-frequency droplist: ``key`` values with
+    df >= min_docs, where ``partial_fn`` emits per-block partial
+    (key, n) vote counts (one vote per distinct key per doc).
 
-    Exact because every document's lines live in one row: each doc
-    votes once per distinct line inside its own block, and partial
-    counts sum to the true distinct-doc count.
+    Exact because every document lives in one row: each doc votes once
+    per distinct key inside its own block, so partial counts sum to
+    the true distinct-doc count. Driver merge is byte-budgeted with a
+    distributed-groupby fallback (the stale_droplist shape).
     """
     import pyarrow.compute as pc
 
     import ray
 
     partials = ds.map_batches(
-        boiler_partials, batch_format="pyarrow", batch_size=None
+        partial_fn, batch_format="pyarrow", batch_size=None
     ).materialize()
     tables, total = [], 0
     for ref in partials.to_arrow_refs():
@@ -348,41 +353,48 @@ def boilerplate_droplist(
         tables.append(t)
         total += t.nbytes
         if total > byte_budget:
-            return _boiler_droplist_shuffled(partials, min_docs)
+            return _df_droplist_shuffled(partials, min_docs, key)
     if not tables:
         return frozenset()
     merged = (
         pa.TableGroupBy(
-            pa.concat_tables(tables).combine_chunks(), "line_hash"
+            pa.concat_tables(tables).combine_chunks(), key
         )
         .aggregate([("n", "sum")])
     )
     keep = merged.filter(pc.greater_equal(merged["n_sum"], min_docs))
-    return frozenset(keep["line_hash"].to_pylist())
+    return frozenset(keep[key].to_pylist())
 
 
-def _boiler_droplist_shuffled(partials, min_docs: int) -> frozenset:
-    """Distributed merge: reduce to df >= min_docs hashes off-driver."""
+def boilerplate_droplist(
+    ds,
+    min_docs: int = BOILER_MIN_DOCS,
+    byte_budget: int = BOILER_BUDGET_BYTES,
+) -> frozenset:
+    """line_hash set with document-frequency >= min_docs."""
+    return df_droplist(ds, boiler_partials, "line_hash", min_docs, byte_budget)
+
+
+def _df_droplist_shuffled(partials, min_docs: int, key: str) -> frozenset:
+    """Distributed merge: reduce to df >= min_docs keys off-driver."""
     import pyarrow.compute as pc
 
     import ray
     from ray.data.aggregate import Sum
 
-    merged = partials.groupby("line_hash").aggregate(
+    merged = partials.groupby(key).aggregate(
         Sum("n", alias_name="df")
     )
 
-    def only_boiler(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["df"], min_docs)).select(
-            ["line_hash"]
-        )
+    def only_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], min_docs)).select([key])
 
     out: set = set()
     for ref in (
-        merged.map_batches(only_boiler, batch_format="pyarrow")
+        merged.map_batches(only_dup, batch_format="pyarrow")
         .to_arrow_refs()
     ):
-        out.update(ray.get(ref)["line_hash"].to_pylist())
+        out.update(ray.get(ref)[key].to_pylist())
     return frozenset(out)
 
 
@@ -412,3 +424,76 @@ def make_boiler_filter(drop_ref):
         )
 
     return clean
+
+
+# ----------------------------------- duplicated n-gram span detection
+# Exact-substring duplication proxy (Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better"; RefinedWeb's exact-
+# substring stage): a word n-gram occurring in >= 2 distinct documents
+# marks a duplicated span. Instead of a cross-node suffix array, the
+# engine reuses the CCNet two-pass df shape over word n-grams — a
+# droplist pass that reduces the corpus to the (small) set of
+# cross-document n-grams, then a map-only pass scoring each document's
+# duplicated-span fraction. At 100 TB the droplist pass is the same
+# bounded-budget merge as the boilerplate droplist; n-gram keys travel
+# as md5 hashes (16 B amortized), never raw strings.
+NGRAM_SPAN_N = 5
+
+
+def _word_ngrams(text: str, n: int = NGRAM_SPAN_N) -> list:
+    words = text.split()
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def ngram_partials(batch: pa.Table) -> pa.Table:
+    """Per-block partial doc-frequencies: one vote per (doc, distinct
+    n-gram)."""
+    from ..functions.hashing import md5_hex
+
+    c: Counter = Counter()
+    for text in batch["text"].to_pylist():
+        for h in {md5_hex(g) for g in _word_ngrams(text)}:
+            c[h] += 1
+    return pa.table(
+        {
+            "gram_hash": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def dup_ngram_set(
+    ds,
+    min_docs: int = BOILER_MIN_DOCS,
+    byte_budget: int = BOILER_BUDGET_BYTES,
+) -> frozenset:
+    """Hashes of word n-grams that appear in >= min_docs documents."""
+    return df_droplist(ds, ngram_partials, "gram_hash", min_docs, byte_budget)
+
+
+def make_ngram_span_counter(dup_ref):
+    """Map-only scoring pass: per doc, total n-gram positions, how many
+    sit inside a cross-document duplicated span, and the duplicated
+    fraction (int/int IEEE division; NULL when the doc has < n words)."""
+    from ..functions.broadcast import cached_get
+    from ..functions.hashing import md5_hex
+
+    def score(batch: pa.Table) -> pa.Table:
+        dup = cached_get(dup_ref)
+        n_grams, n_dup, frac = [], [], []
+        for text in batch["text"].to_pylist():
+            grams = _word_ngrams(text)
+            nd = sum(1 for g in grams if md5_hex(g) in dup)
+            n_grams.append(len(grams))
+            n_dup.append(nd)
+            frac.append(nd / len(grams) if grams else None)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_dup": pa.array(n_dup, pa.int64()),
+                "dup_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return score

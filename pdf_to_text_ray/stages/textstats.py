@@ -429,3 +429,101 @@ def make_tfidf_scorer(idf_ref, top_k: int = TFIDF_TOP_K):
         )
 
     return score
+
+
+# --------------------------------------- DSIR importance weighting
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# every document by the log-likelihood ratio of a target-domain
+# unigram model vs the source (whole-corpus) model, both Laplace-
+# smoothed over the joint vocabulary. Documents that look like the
+# target domain get high weights; resampling by these weights selects
+# pretraining data matched to the target. DSIR proper uses hashed
+# n-gram buckets so the model is fixed-size; here the vocab-keyed
+# model keeps the SQL oracle exact, and the broadcast/merge shape
+# (bounded partials -> driver merge -> ray.put once) is identical
+# either way.
+
+
+def dsir_partials_factory(target_lang: str):
+    def dsir_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cs: Counter = Counter()
+        ct: Counter = Counter()
+        for t, lg in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            words = _RE_WORD.findall(t.lower())
+            cs.update(words)
+            if lg == target_lang:
+                ct.update(words)
+        keys = list(cs.keys())
+        return pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "n_source": pa.array([cs[k] for k in keys], pa.int64()),
+                "n_target": pa.array([ct.get(k, 0) for k in keys], pa.int64()),
+            }
+        )
+
+    return dsir_partials
+
+
+def dsir_model(ds, target_lang: str = "en") -> dict:
+    """word -> ln(p_target(w)) - ln(p_source(w)), Laplace-smoothed over
+    the joint vocab. One counting pass serves both models."""
+    import math
+
+    import ray
+
+    tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                dsir_partials_factory(target_lang),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return {}
+    merged = pa.TableGroupBy(
+        pa.concat_tables(tables).combine_chunks(), "word"
+    ).aggregate([("n_source", "sum"), ("n_target", "sum")])
+    cs = merged["n_source_sum"].to_pylist()
+    ct = merged["n_target_sum"].to_pylist()
+    s, t, v = sum(cs), sum(ct), merged.num_rows
+    return {
+        w: math.log((nt + 1) / (t + v)) - math.log((ns + 1) / (s + v))
+        for w, ns, nt in zip(merged["word"].to_pylist(), cs, ct)
+    }
+
+
+def make_dsir_scorer(model_ref):
+    """Map-only pass: per doc, the length-normalized log importance
+    weight (6-dp rounded; 0.0 for wordless docs)."""
+    from ..functions.broadcast import cached_get
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = cached_get(model_ref)
+        n_words, lws = [], []
+        for t in batch["text"].to_pylist():
+            words = _RE_WORD.findall(t.lower())
+            n_words.append(len(words))
+            lws.append(
+                round(sum(model[w] for w in words) / len(words), 6)
+                if words
+                else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "log_weight": pa.array(lws, pa.float64()),
+            }
+        )
+
+    return score

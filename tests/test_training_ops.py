@@ -502,3 +502,52 @@ def test_ccnet_buckets_balanced(sf_dir):
             grp[grp.bucket == "head"]["avg_logprob"].min()
             >= grp[grp.bucket == "tail"]["avg_logprob"].max()
         )
+
+
+def test_dup_ngram_spans_flags_shared_spans(tmp_path):
+    import pyarrow as pa
+    import ray.data
+    from pdf_to_text_ray.stages import corpus
+
+    shared = "alpha beta gamma delta epsilon"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"intro words here {shared} tail one",
+                    f"other start {shared} different tail",
+                    "completely unique five word doc here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    dup = corpus.dup_ngram_set(ds)
+    import ray as _ray
+
+    out = (
+        ds.map_batches(
+            corpus.make_ngram_span_counter(_ray.put(dup)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_dup"] >= 1 and out.loc[2, "n_dup"] >= 1
+    assert out.loc[3, "n_dup"] == 0
+    assert out.loc[3, "n_grams"] == 2  # 6 words -> 2 positions
+    assert 0 < out.loc[1, "dup_frac"] < 1
+
+
+def test_dsir_weights_favor_target_lang(sf_dir):
+    out = QUERIES["dsir_weights"](sf_dir).to_pandas()
+    assert len(out) == 500
+    en = out[out.lang == "en"]["log_weight"]
+    rest = out[(out.lang != "en") & (out.n_words > 0)]["log_weight"]
+    assert en.mean() > rest.mean()
+    # synthetic langs share most ascii vocab, so separation is
+    # real but modest: a clear majority of en docs beat the
+    # non-target median
+    assert (en > rest.median()).mean() > 0.6
