@@ -4133,6 +4133,69 @@ def q_fuzzy_dedup(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+def q_bloom_new_urls(sf_dir: str):
+    """Dolma-style Bloom seen-set: build a Bloom filter over the
+    previous crawl's urls (crawl A = doc_id %% 4 < 2) with a
+    distributed OR-merge of per-block bit arrays, broadcast it once
+    (128 KiB regardless of key count), and keep only the current
+    crawl's (crawl B = even doc_ids) urls that are guaranteed new.
+    No false negatives by construction; the FP rate at these filter
+    parameters is < 1e-12, and the pytest pins zero-FP equality with
+    the exact anti-join at test scale. Oracle: the exact anti-join."""
+    from ..sources.synth import url_for
+    from ..stages.dedup import bloom_build, make_bloom_probe
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def with_url(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(
+                    [url_for(i) for i in t["doc_id"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    def crawl_a_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(pc.bit_wise_and(t["doc_id"], 3), 2))
+
+    def crawl_b_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    urls = ids.map_batches(with_url, batch_format="pyarrow")
+    bits_ref = ray.put(
+        bloom_build(
+            urls.map_batches(crawl_a_rows, batch_format="pyarrow"),
+            key_col="url",
+        )
+    )
+    return (
+        urls.map_batches(crawl_b_rows, batch_format="pyarrow")
+        .map_batches(
+            make_bloom_probe(bits_ref, key_col="url"), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_BLOOM_NEW_URLS = """
+WITH urls AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), a AS (
+  SELECT url FROM urls WHERE doc_id % 4 < 2
+), b AS (
+  SELECT doc_id, url FROM urls WHERE doc_id % 2 = 0
+)
+SELECT doc_id, url FROM b
+WHERE url NOT IN (SELECT url FROM a)
+"""
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weighting (Xie et al. 2023): per-doc
     length-normalized log-likelihood ratio of a target-domain (lang
@@ -4257,6 +4320,7 @@ QUERIES = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "dup_ngram_spans": q_dup_ngram_spans,
     "dsir_weights": q_dsir_weights,
+    "bloom_new_urls": q_bloom_new_urls,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4352,6 +4416,7 @@ ORACLE_SQL = {
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "bloom_new_urls": SQL_BLOOM_NEW_URLS,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

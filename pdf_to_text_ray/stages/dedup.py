@@ -612,3 +612,103 @@ class NgramJaccardScorer:
                 "jaccard": pa.array(sims, pa.float64()),
             }
         )
+
+
+# ---------- Bloom-filter membership (Dolma-style seen-set) ----------
+# Dolma's exact dedup marks documents against a Bloom filter of
+# already-seen keys: O(m/8) bytes of state regardless of key count,
+# no false negatives (every key reported "unseen" is genuinely new),
+# tunable false-positive rate (an FP silently drops a genuinely-new
+# key — acceptable for crawl-frontier and re-crawl suppression).
+#
+# Build shape: each block reduces its keys to a local m-bit array
+# (map-side partial), the arrays OR together driver-side (P blocks x
+# m/8 bytes — 128 KiB each; at 10^12 keys you size m per *partition*
+# and route keys by hash range so each worker holds one shard of the
+# filter; the OR-merge then happens per shard, never globally). The
+# merged filter broadcasts once via ray.put, and the probe pass is
+# map-only.
+
+import numpy as np  # noqa: E402
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB => <1e-12 FP rate at ~1e4 keys
+BLOOM_K = 7
+
+
+def _bloom_hashes(key: str):
+    """(h1, h2) 64-bit pair for double hashing (Kirsch-Mitzenmacher:
+    k probes from two md5 halves)."""
+    import hashlib
+
+    d = hashlib.md5(key.encode()).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,
+    )
+
+
+def _bloom_set_bits(keys, m: int, k: int) -> np.ndarray:
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for key in keys:
+        h1, h2 = _bloom_hashes(key)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bits
+
+
+def _bloom_contains(bits: np.ndarray, key: str, m: int, k: int) -> bool:
+    h1, h2 = _bloom_hashes(key)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    key_col: str = "url",
+    m: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> np.ndarray:
+    """Distributed Bloom build: per-block partial bit arrays, OR-merged
+    driver-side. Driver state is P x m/8 bytes of partials (streamed,
+    one at a time), never the key set."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _bloom_set_bits(batch[key_col].to_pylist(), m, k)
+        return pa.table({"bits": pa.array([b.tobytes()], pa.binary())})
+
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for ref in (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        for raw in t["bits"].to_pylist():
+            merged |= np.frombuffer(raw, dtype=np.uint8)
+    return merged
+
+
+def make_bloom_probe(bits_ref, key_col: str = "url", m: int = BLOOM_M_BITS,
+                     k: int = BLOOM_K, keep_unseen: bool = True):
+    """Map-only probe pass: keep rows whose key is (not) in the filter.
+    ``keep_unseen=True`` keeps guaranteed-new rows (no false
+    negatives: nothing already-seen survives)."""
+    from ..functions.broadcast import cached_get
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = cached_get(bits_ref)
+        seen = np.fromiter(
+            (
+                _bloom_contains(bits, u, m, k)
+                for u in batch[key_col].to_pylist()
+            ),
+            dtype=bool,
+            count=batch.num_rows,
+        )
+        mask = ~seen if keep_unseen else seen
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return probe

@@ -551,3 +551,37 @@ def test_dsir_weights_favor_target_lang(sf_dir):
     # real but modest: a clear majority of en docs beat the
     # non-target median
     assert (en > rest.median()).mean() > 0.6
+
+
+def test_bloom_filter_semantics():
+    from pdf_to_text_ray.stages.dedup import (
+        _bloom_contains,
+        _bloom_set_bits,
+    )
+
+    keys = [f"k{i}" for i in range(200)]
+    bits = _bloom_set_bits(keys, 1 << 20, 7)
+    # no false negatives, ever
+    assert all(_bloom_contains(bits, k, 1 << 20, 7) for k in keys)
+    # at this sizing, no false positives either on a disjoint probe set
+    assert not any(
+        _bloom_contains(bits, f"other{i}", 1 << 20, 7) for i in range(2000)
+    )
+    # a deliberately tiny filter produces FPs but still no FNs:
+    # survivors of a keep-unseen pass are a SUBSET of the exact answer
+    tiny = _bloom_set_bits(keys, 64, 7)
+    assert all(_bloom_contains(tiny, k, 64, 7) for k in keys)
+
+
+def test_bloom_new_urls_equals_exact_anti_join(sf_dir):
+    import pyarrow.parquet as _pq
+
+    from pdf_to_text_ray.sources.synth import url_for
+
+    got = {r["url"] for r in QUERIES["bloom_new_urls"](sf_dir).take_all()}
+    ids = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    a = {url_for(i) for i in ids if i % 4 < 2}
+    want = {url_for(i) for i in ids if i % 2 == 0 and url_for(i) not in a}
+    assert got == want and got
