@@ -104,6 +104,12 @@ BENCH_QUERIES = [
     "image_decode",
     "video_frame_sample",
     "media_features",
+    "warc_extract",
+    "wet_roundtrip",
+    "fuzzy_dedup",
+    "dup_ngram_spans",
+    "dsir_weights",
+    "bloom_new_urls",
 ]
 HEADLINE = "extract_e2e"
 
