@@ -48,6 +48,7 @@ from datetime import datetime
 import pyarrow as pa
 
 import ray.data
+from ray.data.datasource import FileBasedDatasource
 
 _DATE_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
 _EPOCH = datetime(1970, 1, 1)
@@ -262,28 +263,28 @@ def write_wet_shards(extracted: ray.data.Dataset, out_dir: str) -> pa.Table:
 # ----------------------------------------------------------- source
 
 
-def _parse_warc_batch(batch: pa.Table) -> pa.Table:
+def _parse_bytes(data: bytes) -> pa.Table:
+    """One shard's raw bytes -> crawl-table rows."""
     urls: list[str] = []
     tss: list[int] = []
     payloads: list[bytes] = []
     langs: list[str] = []
-    for data in batch["bytes"].to_pylist():
-        for member in _iter_members(data or b""):
-            for headers, block in _iter_records(member):
-                wtype = headers.get("WARC-Type", "")
-                if wtype not in ("response", "conversion"):
-                    continue
-                urls.append(headers.get("WARC-Target-URI", ""))
-                try:
-                    tss.append(_parse_date_us(headers.get("WARC-Date", "")))
-                except ValueError:
-                    tss.append(0)
-                langs.append(
-                    headers.get("WARC-Identified-Content-Language", "")
-                )
-                payloads.append(
-                    _http_payload(block) if wtype == "response" else block
-                )
+    for member in _iter_members(data or b""):
+        for headers, block in _iter_records(member):
+            wtype = headers.get("WARC-Type", "")
+            if wtype not in ("response", "conversion"):
+                continue
+            urls.append(headers.get("WARC-Target-URI", ""))
+            try:
+                tss.append(_parse_date_us(headers.get("WARC-Date", "")))
+            except ValueError:
+                tss.append(0)
+            langs.append(
+                headers.get("WARC-Identified-Content-Language", "")
+            )
+            payloads.append(
+                _http_payload(block) if wtype == "response" else block
+            )
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -295,11 +296,44 @@ def _parse_warc_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _resolve_shards(paths: str | list[str]) -> list[str]:
+    if isinstance(paths, str) and os.path.isdir(paths):
+        return sorted(
+            os.path.join(paths, f)
+            for f in os.listdir(paths)
+            if f.endswith((".warc", ".warc.gz", ".wet.gz"))
+        )
+    return [paths] if isinstance(paths, str) else list(paths)
+
+
+class WarcDatasource(FileBasedDatasource):
+    """Custom Ray Data datasource: each read task decompresses and
+    parses one WARC shard straight into crawl-table rows.
+
+    Parsing INSIDE the read matters for pipeline shape: if the parse
+    were a separate ``map_batches`` it would fuse into the downstream
+    OCR actor-pool operator, whose row-based bundler then sees one
+    row per FILE and coalesces every shard into a single task. With
+    the datasource, read output blocks already hold ~record-count
+    rows, so downstream batching and actor-pool fan-out size
+    themselves correctly."""
+
+    _FILE_EXTENSIONS = ["warc", "warc.gz", "wet.gz"]
+
+    def _read_stream(self, f, path: str):
+        yield _parse_bytes(f.readall())
+
+
 def read_warc(paths: str | list[str]) -> ray.data.Dataset:
     """WARC shard file(s)/dir -> canonical crawl-table Dataset.
-    One read task per shard file; parsing is a map-only stage."""
-    ds = ray.data.read_binary_files(paths, file_extensions=None)
-    return ds.map_batches(_parse_warc_batch, batch_format="pyarrow", batch_size=None)
+    One read task per shard file (``override_num_blocks=len(files)``
+    — Ray would otherwise pack small test-scale files into one task;
+    production ~1 GiB shards are file-per-task either way)."""
+    files = _resolve_shards(paths)
+    return ray.data.read_datasource(
+        WarcDatasource(files, file_extensions=None),
+        override_num_blocks=max(1, len(files)),
+    )
 
 
 def read_wet(paths: str | list[str]) -> ray.data.Dataset:
@@ -321,7 +355,6 @@ def read_wet(paths: str | list[str]) -> ray.data.Dataset:
             }
         )
 
-    ds = ray.data.read_binary_files(paths, file_extensions=None)
-    return ds.map_batches(_parse_warc_batch, batch_format="pyarrow", batch_size=None).map_batches(
+    return read_warc(paths).map_batches(
         project, batch_format="pyarrow", batch_size=None
     )

@@ -46,8 +46,7 @@ def test_record_roundtrips_payload_containing_separator():
     ],
 )
 def test_parser_never_crashes_on_junk(junk):
-    t = pa.table({"bytes": pa.array([junk], pa.binary())})
-    out = W._parse_warc_batch(t)
+    out = W._parse_bytes(junk)
     assert out.num_rows == 0 or out.column_names[0] == "url"
 
 
