@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "dup_ngram_spans",
     "dsir_weights",
     "bloom_new_urls",
+    "bigram_logprob",
+    "term_postings",
 ]
 HEADLINE = "extract_e2e"
 

@@ -4133,6 +4133,130 @@ def q_fuzzy_dedup(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+def q_term_postings(sf_dir: str):
+    """Distributed inverted-index build: term -> sorted posting list
+    of doc_ids (+ df). Map-side distinct (term, doc_id) pairs, then
+    terms hash into BOUNDED partitions (never one group per term —
+    the per-group-overhead cliff) and each partition assembles its
+    postings vectorized: one pyarrow sort + one grouped list-agg, with
+    only the final join-to-string loop at vocab/partition granularity.
+    At 100 TB each partition writes its postings shard independently —
+    a hash-partitioned index artifact, resumable per partition."""
+    from ..functions.hashing import stable_u64
+
+    num_parts = 32
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        words_col, ids_col, parts_col = [], [], []
+        for did, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            for w in set(_re.findall(r"[a-z]+", text.lower())):
+                words_col.append(w)
+                ids_col.append(did)
+                parts_col.append(stable_u64(w) % num_parts)
+        return pa.table(
+            {
+                "term": pa.array(words_col, pa.string()),
+                "doc_id": pa.array(ids_col, pa.int64()),
+                "part": pa.array(parts_col, pa.int32()),
+            }
+        )
+
+    def assemble(df):
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        g = pa.TableGroupBy(t, "term", use_threads=False).aggregate(
+            [("doc_id", "list"), ("doc_id", "count")]
+        )
+        postings = [
+            ",".join(str(i) for i in lst)
+            for lst in g["doc_id_list"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "term": g["term"],
+                "df": pc.cast(g["doc_id_count"], pa.int64()),
+                "postings": pa.array(postings, pa.string()),
+            }
+        ).to_pandas()
+
+    return (
+        _read_documents(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+SQL_TERM_POSTINGS = """
+WITH words AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM words GROUP BY term
+"""
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality proxy (one step closer to CCNet's KenLM
+    filter than unigram_logprob): Laplace-smoothed p(w2|w1) fit on the
+    corpus in one distributed counting pass, broadcast once, scored
+    map-side. avg bigram ln-prob per doc, 6-dp rounded."""
+    from ..stages.textstats import bigram_model, make_bigram_scorer
+
+    model = bigram_model(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+    )
+    model_ref = ray.put(model)
+    return _read_documents(sf_dir).map_batches(
+        make_bigram_scorer(model_ref), batch_format="pyarrow"
+    )
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1)
+           AS ord
+  FROM documents
+), pairs AS (
+  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+         w AS w2
+  FROM words
+  QUALIFY w1 IS NOT NULL
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM words GROUP BY w
+), v AS (
+  SELECT count(*) AS v FROM uni
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM pairs GROUP BY w1, w2
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((CAST(c12 AS DOUBLE) + 1)
+                      / CAST(c1 + v AS DOUBLE))), 6) AS avg_logprob
+  FROM pairs
+  JOIN big USING (w1, w2)
+  JOIN uni ON uni.w = pairs.w1
+  CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_bloom_new_urls(sf_dir: str):
     """Dolma-style Bloom seen-set: build a Bloom filter over the
     previous crawl's urls (crawl A = doc_id %% 4 < 2) with a
@@ -4321,6 +4445,8 @@ QUERIES = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "dsir_weights": q_dsir_weights,
     "bloom_new_urls": q_bloom_new_urls,
+    "bigram_logprob": q_bigram_logprob,
+    "term_postings": q_term_postings,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4417,6 +4543,8 @@ ORACLE_SQL = {
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "bloom_new_urls": SQL_BLOOM_NEW_URLS,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "term_postings": SQL_TERM_POSTINGS,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

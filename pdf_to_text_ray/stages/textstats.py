@@ -527,3 +527,108 @@ def make_dsir_scorer(model_ref):
         )
 
     return score
+
+
+# ------------------------------------------- bigram LM scoring
+# One step closer to CCNet's KenLM perplexity filter than the unigram
+# proxy: a Laplace-smoothed bigram model fit on the corpus itself.
+# Same scale shape as the unigram op — one distributed counting pass
+# (bigram + unigram partials together), a broadcast model table, then
+# a map-only scoring pass. The model is vocab-bounded, not
+# corpus-bounded; at web scale you'd cap the vocab by frequency (or
+# hash it) exactly as CCNet's LM does, which changes the constants,
+# not the shape.
+
+
+def bigram_partials(batch: pa.Table) -> pa.Table:
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        words = _RE_WORD.findall(t.lower())
+        c.update(zip(words, words[1:]))
+    w1, w2 = (
+        [k[0] for k in c],
+        [k[1] for k in c],
+    )
+    return pa.table(
+        {
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def bigram_model(ds) -> dict:
+    """(w1, w2) -> ln p(w2 | w1), Laplace-smoothed over the unigram
+    vocab: p = (c12 + 1) / (c1 + V). Unigram counts come from the
+    existing unigram partials pass over the same dataset."""
+    import math
+
+    import ray
+
+    uni_tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                unigram_partials, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    big_tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                bigram_partials, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not uni_tables or not big_tables:
+        return {}
+    uni = pa.TableGroupBy(
+        pa.concat_tables(uni_tables).combine_chunks(), "word"
+    ).aggregate([("n", "sum")])
+    c1 = dict(zip(uni["word"].to_pylist(), uni["n_sum"].to_pylist()))
+    v = len(c1)
+    big = pa.TableGroupBy(
+        pa.concat_tables(big_tables).combine_chunks(), ["w1", "w2"]
+    ).aggregate([("n", "sum")])
+    return {
+        (a, b): math.log((n + 1) / (c1[a] + v))
+        for a, b, n in zip(
+            big["w1"].to_pylist(),
+            big["w2"].to_pylist(),
+            big["n_sum"].to_pylist(),
+        )
+    }
+
+
+def make_bigram_scorer(model_ref):
+    """Map-only pass: per doc, bigram count and average bigram ln-prob
+    (6-dp rounded; 0.0 for docs with < 2 words)."""
+    from ..functions.broadcast import cached_get
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = cached_get(model_ref)
+        n_big, lps = [], []
+        for t in batch["text"].to_pylist():
+            words = _RE_WORD.findall(t.lower())
+            pairs = list(zip(words, words[1:]))
+            n_big.append(len(pairs))
+            lps.append(
+                round(sum(model[p] for p in pairs) / len(pairs), 6)
+                if pairs
+                else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "avg_logprob": pa.array(lps, pa.float64()),
+            }
+        )
+
+    return score

@@ -585,3 +585,45 @@ def test_bloom_new_urls_equals_exact_anti_join(sf_dir):
     a = {url_for(i) for i in ids if i % 4 < 2}
     want = {url_for(i) for i in ids if i % 2 == 0 and url_for(i) not in a}
     assert got == want and got
+
+
+def test_bigram_model_properties_and_scoring():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+    from pdf_to_text_ray.stages.textstats import (
+        bigram_model,
+        make_bigram_scorer,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat the cat sat again",
+                    "the cat sat on the mat once more today yes",
+                    "zeta xylo qoph vex jumble wren oddly klaxon brisk nub",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    model = bigram_model(ds)
+    # probabilities: sum over observed w2 of p(w2|'the') < 1 (Laplace
+    # mass reserved for unseen continuations)
+    mass = sum(math.exp(lp) for (a, _), lp in model.items() if a == "the")
+    assert 0 < mass < 1
+    out = (
+        ds.map_batches(
+            make_bigram_scorer(ray.put(model)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # the formulaic docs score far better than the one-off word salad
+    assert out.loc[1, "avg_logprob"] > out.loc[3, "avg_logprob"]
+    assert out.loc[2, "avg_logprob"] > out.loc[3, "avg_logprob"]
+    assert out.loc[1, "n_bigrams"] == 9
