@@ -57,22 +57,7 @@ def q_extract_e2e(sf_dir: str):
     pipeline's page/line separators replace single spaces 1:1, so
     n_chars still checks raw byte length); full byte-identity incl.
     newlines is pinned by the pytest golden suite."""
-    ds = run_extraction(sf_dir)
-
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url": t["url"],
-                "text": pc.replace_substring(t["text"], "\n", " "),
-                "doc_type": t["doc_type"],
-                "lang": t["lang"],
-                "n_pages": t["n_pages"],
-                "n_chars": t["n_chars"],
-                "parse_ok": t["parse_ok"],
-            }
-        )
-
-    return ds.map_batches(project, batch_format="pyarrow")
+    return _e2e_project(run_extraction(sf_dir))
 
 
 _E2E_BASE = """
@@ -4289,7 +4274,10 @@ def q_bloom_new_urls(sf_dir: str):
     def crawl_b_rows(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
 
-    urls = ids.map_batches(with_url, batch_format="pyarrow")
+    # materialized: the url table is consumed twice (bloom build, then
+    # the crawl-B probe) — without this the parquet read + python url
+    # synthesis would re-execute for the second consumer
+    urls = ids.map_batches(with_url, batch_format="pyarrow").materialize()
     bits_ref = ray.put(
         bloom_build(
             urls.map_batches(crawl_a_rows, batch_format="pyarrow"),

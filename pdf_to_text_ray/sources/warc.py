@@ -63,9 +63,10 @@ def _warc_date(ts_us: int) -> str:
 
 
 def _parse_date_us(s: str) -> int:
-    return int(
-        (datetime.strptime(s, _DATE_FMT) - _EPOCH).total_seconds() * 1_000_000
-    )
+    # integer arithmetic: float total_seconds() loses ~1 us on large
+    # timestamps, breaking byte-faithful round-trips
+    d = datetime.strptime(s, _DATE_FMT) - _EPOCH
+    return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
 
 
 def _record_id(url: str, ts_us: int) -> str:
@@ -109,13 +110,18 @@ def _gzip_member(data: bytes) -> bytes:
 
 def _iter_members(data: bytes):
     """Yield decompressed gzip members (or the whole buffer once if the
-    file isn't gzipped — plain ``.warc`` support)."""
+    file isn't gzipped — plain ``.warc`` support). A corrupt member
+    (bit-rot, truncation mid-stream) ends the iteration rather than
+    crashing the read task — records before the corruption survive."""
     if not data.startswith(b"\x1f\x8b"):
         yield data
         return
     while data:
         obj = zlib.decompressobj(wbits=31)
-        yield obj.decompress(data)
+        try:
+            yield obj.decompress(data)
+        except zlib.error:
+            return
         data = obj.unused_data
 
 
@@ -135,15 +141,26 @@ def _iter_records(buf: bytes):
             return
         headers: dict[str, str] = {}
         for line in buf[start:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            if _:
-                headers[k.strip().decode("latin-1")] = v.strip().decode(
-                    "latin-1", "replace"
+            k, sep, v = line.partition(b":")
+            if sep:
+                # header values round-trip utf-8 (the write side
+                # encodes utf-8; WARC names are case-insensitive)
+                headers[k.strip().decode("utf-8", "replace")] = v.strip().decode(
+                    "utf-8", "replace"
                 )
-        try:
-            clen = int(headers.get("Content-Length", ""))
-        except ValueError:
-            return
+        clen = -1
+        for hk, hv in headers.items():
+            if hk.lower() == "content-length":
+                try:
+                    clen = int(hv)
+                except ValueError:
+                    clen = -1
+                break
+        if clen < 0:
+            # malformed record: resync at the next record marker
+            # instead of dropping the rest of the buffer
+            pos = start + 5
+            continue
         block_start = hdr_end + 4
         if block_start + clen > n:
             return  # truncated record

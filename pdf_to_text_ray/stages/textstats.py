@@ -541,43 +541,41 @@ def make_dsir_scorer(model_ref):
 
 
 def bigram_partials(batch: pa.Table) -> pa.Table:
+    """Unified partial: one tokenization pass emits BOTH unigram rows
+    (w2 = NULL) and bigram rows, so the model needs a single scan of
+    the corpus."""
     from collections import Counter
 
-    c: Counter = Counter()
+    uni: Counter = Counter()
+    big: Counter = Counter()
     for t in batch["text"].to_pylist():
         words = _RE_WORD.findall(t.lower())
-        c.update(zip(words, words[1:]))
-    w1, w2 = (
-        [k[0] for k in c],
-        [k[1] for k in c],
-    )
+        uni.update(words)
+        big.update(zip(words, words[1:]))
+    w1 = list(uni.keys()) + [k[0] for k in big]
+    w2 = [None] * len(uni) + [k[1] for k in big]
+    n = list(uni.values()) + list(big.values())
     return pa.table(
         {
             "w1": pa.array(w1, pa.string()),
             "w2": pa.array(w2, pa.string()),
-            "n": pa.array(list(c.values()), pa.int64()),
+            "n": pa.array(n, pa.int64()),
         }
     )
 
 
 def bigram_model(ds) -> dict:
     """(w1, w2) -> ln p(w2 | w1), Laplace-smoothed over the unigram
-    vocab: p = (c12 + 1) / (c1 + V). Unigram counts come from the
-    existing unigram partials pass over the same dataset."""
+    vocab: p = (c12 + 1) / (c1 + V). ONE distributed counting pass
+    emits unigram and bigram partials together (unigram rows carry
+    w2 = NULL)."""
     import math
+
+    import pyarrow.compute as pc
 
     import ray
 
-    uni_tables = [
-        t
-        for t in ray.get(
-            ds.map_batches(
-                unigram_partials, batch_format="pyarrow", batch_size=None
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    big_tables = [
+    tables = [
         t
         for t in ray.get(
             ds.map_batches(
@@ -586,16 +584,18 @@ def bigram_model(ds) -> dict:
         )
         if t.num_rows
     ]
-    if not uni_tables or not big_tables:
+    if not tables:
         return {}
-    uni = pa.TableGroupBy(
-        pa.concat_tables(uni_tables).combine_chunks(), "word"
+    merged = pa.TableGroupBy(
+        pa.concat_tables(tables).combine_chunks(), ["w1", "w2"]
     ).aggregate([("n", "sum")])
-    c1 = dict(zip(uni["word"].to_pylist(), uni["n_sum"].to_pylist()))
+    is_uni = pc.is_null(merged["w2"])
+    uni = merged.filter(is_uni)
+    big = merged.filter(pc.invert(is_uni))
+    c1 = dict(zip(uni["w1"].to_pylist(), uni["n_sum"].to_pylist()))
     v = len(c1)
-    big = pa.TableGroupBy(
-        pa.concat_tables(big_tables).combine_chunks(), ["w1", "w2"]
-    ).aggregate([("n", "sum")])
+    if not v:
+        return {}
     return {
         (a, b): math.log((n + 1) / (c1[a] + v))
         for a, b, n in zip(

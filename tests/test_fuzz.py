@@ -192,3 +192,29 @@ def test_tfidf_and_unigram_total(texts):
     ).to_pandas()
     assert len(un_out) == len(texts)
     assert (tf_out["rank"] <= 3).all() if len(tf_out) else True
+
+
+@hypothesis.given(st.binary(max_size=600))
+@hypothesis.settings(max_examples=120, derandomize=True, deadline=None)
+def test_warc_parse_total_over_arbitrary_bytes(data):
+    """_parse_bytes never crashes and always terminates on arbitrary
+    bytes — including gzip-magic prefixes, stray WARC/ markers and
+    hostile Content-Length values."""
+    from pdf_to_text_ray.sources.warc import _parse_bytes
+
+    out = _parse_bytes(data)
+    assert out.num_rows >= 0
+
+
+@hypothesis.given(st.binary(max_size=200))
+@hypothesis.settings(max_examples=60, derandomize=True, deadline=None)
+def test_warc_parse_total_with_injected_markers(payload):
+    """Records whose PAYLOAD contains record markers / header
+    separators still parse exactly (length-delimited framing)."""
+    from pdf_to_text_ray.sources.warc import _parse_bytes, warc_record_bytes
+
+    evil = b"WARC/1.0\r\nContent-Length: 3\r\n\r\n" + payload
+    rec = warc_record_bytes("https://f/1", 11, evil, "en")
+    out = _parse_bytes(rec)
+    assert out.num_rows >= 1
+    assert out["html"].to_pylist()[0] == evil

@@ -93,3 +93,39 @@ def test_wet_roundtrip_preserves_newlines(tmp_path):
     back = W.read_wet(str(tmp_path)).to_pandas().sort_values("url")
     assert list(back["text"]) == ["line one\nline two\n\nthree", ""]
     assert list(back["lang"]) == ["en", "de"]
+
+
+def test_parser_handles_negative_content_length():
+    # must terminate (no infinite loop) and drop only the bad record
+    bad = b"WARC/1.0\r\nContent-Length: -100\r\n\r\nxxxx"
+    good = W.warc_record_bytes("https://ok/1", 7, b"payload", "en")
+    out = W._parse_bytes(bad + good)
+    assert out.num_rows == 1
+    assert out["url"].to_pylist() == ["https://ok/1"]
+
+
+def test_parser_stops_at_corrupt_gzip_member_keeping_prior_records():
+    good = W._gzip_member(W.warc_record_bytes("https://ok/1", 7, b"p", "en"))
+    corrupt = b"\x1f\x8b" + b"\x99" * 40
+    out = W._parse_bytes(good + corrupt)
+    assert out["url"].to_pylist() == ["https://ok/1"]
+
+
+def test_parser_resyncs_after_missing_content_length():
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\njunk"
+    good = W.warc_record_bytes("https://ok/2", 9, b"q", "de")
+    out = W._parse_bytes(bad + good)
+    assert out["url"].to_pylist() == ["https://ok/2"]
+
+
+def test_non_ascii_url_roundtrips():
+    url = "https://exämple.com/påth"
+    rec = W.warc_record_bytes(url, 3, b"x", "sv")
+    out = W._parse_bytes(rec)
+    assert out["url"].to_pylist() == [url]
+
+
+def test_date_roundtrip_is_microsecond_exact():
+    for ts in (1090352934935922, 1, 999_999, 1_700_000_000_123_457,
+               4102444799_999_999):
+        assert W._parse_date_us(W._warc_date(ts)) == ts
