@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "bloom_new_urls",
     "bigram_logprob",
     "term_postings",
+    "filter_funnel",
 ]
 HEADLINE = "extract_e2e"
 

@@ -4118,6 +4118,161 @@ def q_fuzzy_dedup(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+def q_filter_funnel(sf_dir: str):
+    """FineWeb-style curation funnel with per-stage attrition: lang
+    gate -> Gopher quality gate -> repetition gate -> exact dedup,
+    reporting (stage, n_in, n_kept) for each stage. One map-only pass
+    computes CUMULATIVE pass flags per doc (reusing the exact gate
+    batch fns the individual queries run); counts reduce via one tiny
+    flag aggregate, and the dedup stage counts distinct survivor
+    hashes with a skinny md5-only shuffle — document text never moves.
+    The per-stage counts are what a curation run reports as its
+    attrition table (FineWeb ablation-style).
+
+    The quality stage uses the Gopher rule set MINUS the stopword-hit
+    rule: the synthetic corpus vocabulary contains no English
+    stopwords, so the full conjunction (the standalone
+    ``gopher_quality`` op, which stays faithful to Rae et al. Table
+    A1) would zero the funnel at stage 2 and exercise nothing
+    downstream."""
+    from ..functions.hashing import md5_hex
+    from ..stages import corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        body = t.select(["doc_id", "text"])
+        g = textstats.gopher_quality_batch(body)
+        r = corpus.repetition_batch(body)
+        g_ok = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(
+                        g["n_words"], textstats.GOPHER_MIN_WORDS
+                    ),
+                    pc.less_equal(g["n_words"], textstats.GOPHER_MAX_WORDS),
+                ),
+                pc.and_(
+                    pc.greater_equal(
+                        g["mean_word_len"], textstats.GOPHER_MIN_MEAN_WL
+                    ),
+                    pc.less_equal(
+                        g["mean_word_len"], textstats.GOPHER_MAX_MEAN_WL
+                    ),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less(
+                        g["symbol_ratio"], textstats.GOPHER_MAX_SYMBOL_RATIO
+                    ),
+                    pc.less(
+                        g["bullet_frac"], textstats.GOPHER_MAX_BULLET_FRAC
+                    ),
+                ),
+                pc.and_(
+                    pc.less(
+                        g["ellipsis_frac"],
+                        textstats.GOPHER_MAX_ELLIPSIS_FRAC,
+                    ),
+                    pc.greater(
+                        g["alpha_word_frac"],
+                        textstats.GOPHER_MIN_ALPHA_FRAC,
+                    ),
+                ),
+            ),
+        )
+        p1 = pc.equal(t["lang"], "en")
+        p2 = pc.and_(p1, g_ok)
+        p3 = pc.and_(p2, r["keep"])
+        surv = p3.to_pylist()
+        md5s = [
+            md5_hex(x) if ok else ""
+            for x, ok in zip(t["text"].to_pylist(), surv)
+        ]
+        return pa.table(
+            {
+                "p1": pc.cast(p1, pa.int64()),
+                "p2": pc.cast(p2, pa.int64()),
+                "p3": pc.cast(p3, pa.int64()),
+                "md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    flagged = docs.map_batches(flags, batch_format="pyarrow").materialize()
+    agg = flagged.aggregate(
+        Count(alias_name="n0"),
+        Sum("p1", alias_name="n1"),
+        Sum("p2", alias_name="n2"),
+        Sum("p3", alias_name="n3"),
+    )
+    n4 = (
+        flagged.map_batches(
+            lambda t: t.filter(pc.not_equal(t["md5"], "")).select(["md5"]),
+            batch_format="pyarrow",
+        )
+        .groupby("md5")
+        .count()
+        .count()
+    )
+    n0, n1, n2, n3 = (int(agg[k]) for k in ("n0", "n1", "n2", "n3"))
+    stages = [
+        (1, "lang", n0, n1),
+        (2, "gopher", n1, n2),
+        (3, "repetition", n2, n3),
+        (4, "exact_dedup", n3, int(n4)),
+    ]
+    return pa.table(
+        {
+            "stage_no": pa.array([s[0] for s in stages], pa.int64()),
+            "stage": pa.array([s[1] for s in stages], pa.string()),
+            "n_in": pa.array([s[2] for s in stages], pa.int64()),
+            "n_kept": pa.array([s[3] for s in stages], pa.int64()),
+        }
+    )
+
+
+def _filter_funnel_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         (n_words BETWEEN {textstats.GOPHER_MIN_WORDS}
+                      AND {textstats.GOPHER_MAX_WORDS}
+          AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WL}
+                                AND {textstats.GOPHER_MAX_MEAN_WL}
+          AND symbol_ratio < {textstats.GOPHER_MAX_SYMBOL_RATIO}
+          AND bullet_frac < {textstats.GOPHER_MAX_BULLET_FRAC}
+          AND ellipsis_frac < {textstats.GOPHER_MAX_ELLIPSIS_FRAC}
+          AND alpha_word_frac > {textstats.GOPHER_MIN_ALPHA_FRAC}) AS passes
+  FROM ({_gopher_sql()})
+), rep AS (
+  SELECT doc_id, keep FROM ({SQL_REPETITION_STATS})
+), s1 AS (
+  SELECT d.doc_id, d.text FROM documents d WHERE d.lang = 'en'
+), s2 AS (
+  SELECT s1.* FROM s1 JOIN g USING (doc_id) WHERE g.passes
+), s3 AS (
+  SELECT s2.* FROM s2 JOIN rep USING (doc_id) WHERE rep.keep
+), n AS (
+  SELECT (SELECT count(*) FROM documents) AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3,
+         (SELECT count(DISTINCT text) FROM s3) AS n4
+)
+SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+       CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept
+FROM (
+  SELECT 1 AS stage_no, 'lang' AS stage, n0 AS n_in, n1 AS n_kept FROM n
+  UNION ALL SELECT 2, 'gopher', n1, n2 FROM n
+  UNION ALL SELECT 3, 'repetition', n2, n3 FROM n
+  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM n
+)
+"""
+
+
 def q_term_postings(sf_dir: str):
     """Distributed inverted-index build: term -> sorted posting list
     of doc_ids (+ df). Map-side distinct (term, doc_id) pairs, then
@@ -4435,6 +4590,7 @@ QUERIES = {
     "bloom_new_urls": q_bloom_new_urls,
     "bigram_logprob": q_bigram_logprob,
     "term_postings": q_term_postings,
+    "filter_funnel": q_filter_funnel,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4533,6 +4689,7 @@ ORACLE_SQL = {
     "bloom_new_urls": SQL_BLOOM_NEW_URLS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "term_postings": SQL_TERM_POSTINGS,
+    "filter_funnel": _filter_funnel_sql(),
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

@@ -627,3 +627,25 @@ def test_bigram_model_properties_and_scoring():
     assert out.loc[1, "avg_logprob"] > out.loc[3, "avg_logprob"]
     assert out.loc[2, "avg_logprob"] > out.loc[3, "avg_logprob"]
     assert out.loc[1, "n_bigrams"] == 9
+
+
+def test_filter_funnel_consistent_with_individual_gates(sf_dir):
+    out = (
+        QUERIES["filter_funnel"](sf_dir)
+        .to_pandas()
+        .sort_values("stage_no")
+        .reset_index(drop=True)
+    )
+    assert list(out["stage"]) == ["lang", "gopher", "repetition", "exact_dedup"]
+    # attrition chains: each stage's input is the previous stage's output
+    for i in range(1, 4):
+        assert out.loc[i, "n_in"] == out.loc[i - 1, "n_kept"]
+    assert (out["n_kept"] <= out["n_in"]).all()
+    # stage 1 agrees with the stored lang column
+    import pyarrow.parquet as _pq
+
+    langs = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang"]
+    )["lang"].to_pylist()
+    assert out.loc[0, "n_kept"] == sum(1 for l in langs if l == "en")
+    assert out.loc[3, "n_kept"] > 0
