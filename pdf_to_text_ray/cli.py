@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact", default=None, metavar="IN_DIR",
                     help="compact a fragmented parquet dir into "
                          "--output (small-file merge, streaming)")
+    ap.add_argument("--from-warc", default=None, metavar="DIR",
+                    help="extract from WARC shards in DIR instead of "
+                         "the synthesized parquet corpus")
+    ap.add_argument("--to-warc", default=None, metavar="DIR",
+                    help="serialize the corpus to .warc.gz shards in "
+                         "DIR and exit")
     args = ap.parse_args(argv)
 
     if args.list_queries:
@@ -137,11 +143,36 @@ def main(argv: list[str] | None = None) -> int:
 
     from .config import DEFAULT_CONFIG
     from .pipelines.extract import (
-        run_extraction,
+        run_extraction_on,
         stale_droplist,
         synthesize_docs,
         synthesize_keys,
     )
+
+    if args.to_warc:
+        from .sources.warc import write_warc_shards
+
+        manifest = write_warc_shards(
+            synthesize_docs(args.sf_dir, args.repeat), args.to_warc
+        )
+        import pyarrow.compute as _pc
+
+        print(json.dumps({
+            "shards": manifest.num_rows,
+            "records": int(_pc.sum(manifest["n_records"]).as_py() or 0),
+            "output": args.to_warc,
+        }))
+        ray.shutdown()
+        return 0
+
+    if args.from_warc:
+        from .sources.warc import read_warc, warc_keys
+
+        docs = read_warc(args.from_warc)
+        keys = lambda: warc_keys(args.from_warc)  # noqa: E731
+    else:
+        docs = synthesize_docs(args.sf_dir, args.repeat)
+        keys = lambda: synthesize_keys(args.sf_dir, args.repeat)  # noqa: E731
 
     cfg = replace(
         DEFAULT_CONFIG,
@@ -162,10 +193,8 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-        dups = stale_droplist(synthesize_keys(args.sf_dir, args.repeat))
-        res = run_checkpointed(
-            synthesize_docs(args.sf_dir, args.repeat), cfg, dups
-        )
+        dups = stale_droplist(keys())
+        res = run_checkpointed(docs, cfg, dups)
         summary = {
             "computed_partitions": res["computed"],
             "skipped_partitions": res["skipped"],
@@ -175,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
             "output": args.output,
         }
     else:
-        ds = run_extraction(args.sf_dir, cfg, repeat=args.repeat)
+        ds = run_extraction_on(docs, keys, cfg)
         n = ds.count()
         summary = {"urls": n, "output": None}
 

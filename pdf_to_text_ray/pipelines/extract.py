@@ -340,19 +340,31 @@ def extract_pipeline_broadcast(
     )
 
 
-def run_extraction(
-    sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, repeat: int = 1
+def run_extraction_on(
+    docs: ray.data.Dataset,
+    keys,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
+    """Extraction over an arbitrary crawl-table Dataset (parquet- or
+    WARC-sourced). ``keys`` is a zero-arg thunk returning the pruned
+    (url, ts_us) Dataset for the droplist pre-pass — a thunk so the
+    shuffle mode (and the budget-overflow fallback) never builds it."""
     if cfg.dedup_mode == "shuffle":
-        return extract_pipeline(synthesize_docs(sf_dir, repeat), cfg)
+        return extract_pipeline(docs, cfg)
     try:
-        dups = stale_droplist(
-            synthesize_keys(sf_dir, repeat), cfg.droplist_budget_bytes
-        )
+        dups = stale_droplist(keys(), cfg.droplist_budget_bytes)
     except DroplistBudgetExceeded:
         # even the re-crawled-url set is too big to broadcast — the
         # general shuffle path has no such bound
-        return extract_pipeline(synthesize_docs(sf_dir, repeat), cfg)
-    return extract_pipeline_broadcast(
-        synthesize_docs(sf_dir, repeat), dups, cfg
+        return extract_pipeline(docs, cfg)
+    return extract_pipeline_broadcast(docs, dups, cfg)
+
+
+def run_extraction(
+    sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, repeat: int = 1
+) -> ray.data.Dataset:
+    return run_extraction_on(
+        synthesize_docs(sf_dir, repeat),
+        lambda: synthesize_keys(sf_dir, repeat),
+        cfg,
     )

@@ -375,3 +375,23 @@ def read_wet(paths: str | list[str]) -> ray.data.Dataset:
     return read_warc(paths).map_batches(
         project, batch_format="pyarrow", batch_size=None
     )
+
+
+def warc_keys(paths: str | list[str]) -> ray.data.Dataset:
+    """Pruned (url, ts_us) key view of WARC shards — the droplist
+    pre-pass input. (The container has no columnar projection, so this
+    is a second decompress pass over the shards; the parquet route's
+    equivalent reads two tiny columns. Shuffle dedup mode avoids the
+    second pass entirely.)"""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "ts_us": t["warc_ts"].cast(pa.int64()),
+            }
+        )
+
+    return read_warc(paths).map_batches(
+        project, batch_format="pyarrow", batch_size=None
+    )

@@ -231,3 +231,45 @@ def test_csv_and_jsonl_sources_feed_the_same_ops(sf_dir, tmp_path):
     got_jsonl = run(ray.data.read_json(str(jsonl_dir)))
     assert got_csv == want
     assert got_jsonl == want
+
+
+def test_cli_warc_round(tmp_path):
+    """CLI container round: --to-warc exports shards, --from-warc
+    extracts from them (checkpointed), and a --resume rerun skips
+    every completed partition."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    wdir, odir = str(tmp_path / "warc"), str(tmp_path / "out")
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_text_ray.cli", "--num-cpus", "2",
+         "--sf-dir", "/root/testdata/sf0.001", "--to-warc", wdir],
+        capture_output=True, text=True, cwd=root, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["records"] == 550  # 500 docs + 50 stale re-crawls
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_text_ray.cli", "--num-cpus", "2",
+         "--from-warc", wdir, "--output", odir],
+        capture_output=True, text=True, cwd=root, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["urls"] == 500 and s["computed_partitions"] == 64
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_to_text_ray.cli", "--num-cpus", "2",
+         "--from-warc", wdir, "--output", odir, "--resume"],
+        capture_output=True, text=True, cwd=root, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["skipped_partitions"] == 64 and s["computed_partitions"] == 0
