@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "term_postings",
     "filter_funnel",
+    "domain_blocklist",
 ]
 HEADLINE = "extract_e2e"
 

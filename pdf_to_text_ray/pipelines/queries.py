@@ -4118,6 +4118,60 @@ def q_fuzzy_dedup(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+# UT1-style blocklist: the host set a curation pass drops (CCNet /
+# RefinedWeb gate crawls against the UT1 adult/malware lists). Here a
+# deterministic 25% of the synthetic hosts stands in for the list.
+BLOCKED_HOSTS = tuple(f"site-{k}.example" for k in range(5))
+
+
+def q_domain_blocklist(sf_dir: str):
+    """URL-curation gate: drop every crawl whose host is on a blocklist
+    (UT1-style, the standard pre-download filter in CCNet/RefinedWeb).
+    The list broadcasts as a value set; the pass is map-only and fully
+    vectorized (one Arrow regex + one ``is_in`` per batch) — at crawl
+    scale this runs against the URL INDEX before any payload is
+    fetched, which is the whole point of the stage."""
+    from ..sources.synth import url_for
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    blocked = pa.array(list(BLOCKED_HOSTS), pa.string())
+
+    def gate(t: pa.Table) -> pa.Table:
+        urls = pa.array(
+            [url_for(i) for i in t["doc_id"].to_pylist()], pa.string()
+        )
+        host = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(urls, r"https://(?P<host>[^/]+)/"), "host"
+            ),
+            "",
+        )
+        keep = pc.invert(pc.is_in(host, value_set=blocked))
+        return pa.table(
+            {"doc_id": t["doc_id"], "url": urls, "host": host}
+        ).filter(keep)
+
+    return ids.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_DOMAIN_BLOCKLIST = f"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), t AS (
+  SELECT doc_id, url,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS host
+  FROM urls
+)
+SELECT doc_id, url, host FROM t
+WHERE host NOT IN ({", ".join(f"'{h}'" for h in BLOCKED_HOSTS)})
+"""
+
+
 def q_filter_funnel(sf_dir: str):
     """FineWeb-style curation funnel with per-stage attrition: lang
     gate -> Gopher quality gate -> repetition gate -> exact dedup,
@@ -4591,6 +4645,7 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "term_postings": q_term_postings,
     "filter_funnel": q_filter_funnel,
+    "domain_blocklist": q_domain_blocklist,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4690,6 +4745,7 @@ ORACLE_SQL = {
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "term_postings": SQL_TERM_POSTINGS,
     "filter_funnel": _filter_funnel_sql(),
+    "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

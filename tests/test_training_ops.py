@@ -649,3 +649,12 @@ def test_filter_funnel_consistent_with_individual_gates(sf_dir):
     )["lang"].to_pylist()
     assert out.loc[0, "n_kept"] == sum(1 for l in langs if l == "en")
     assert out.loc[3, "n_kept"] > 0
+
+
+def test_domain_blocklist_drops_exactly_blocked_hosts(sf_dir):
+    from pdf_to_text_ray.pipelines.queries import BLOCKED_HOSTS
+
+    out = QUERIES["domain_blocklist"](sf_dir).to_pandas()
+    assert not set(out["host"]) & set(BLOCKED_HOSTS)
+    # 5 of 20 hosts blocked -> exactly 75% of the corpus survives
+    assert len(out) == 375
