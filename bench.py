@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "term_postings",
     "filter_funnel",
     "domain_blocklist",
+    "corpus_export",
 ]
 HEADLINE = "extract_e2e"
 

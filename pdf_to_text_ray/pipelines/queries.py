@@ -4118,6 +4118,151 @@ def q_fuzzy_dedup(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+def q_corpus_export(sf_dir: str):
+    """End-to-end training-corpus build — the composition a real
+    curation run ships: gate docs (lang -> Gopher subset ->
+    repetition, all map-only cumulative flags), exact-dedup the
+    survivors (skinny md5 groupby -> the duplicated-hash keeper map
+    broadcasts, the stale-droplist shape — text never shuffles), then
+    pack the surviving stream into 512-token training bins via the
+    distributed exclusive prefix sum (stages/packing.py). Output is
+    the bin layout per surviving doc: what a trainer's data loader
+    consumes."""
+    from ..functions.broadcast import cached_get
+    from ..stages import corpus
+    from ..stages.dedup import add_md5_batch, exact_dedup
+    from ..stages.packing import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def gates(t: pa.Table) -> pa.Table:
+        body = t.select(["doc_id", "text"])
+        g = textstats.gopher_quality_batch(body)
+        r = corpus.repetition_batch(body)
+        g_ok = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(g["n_words"], textstats.GOPHER_MIN_WORDS),
+                    pc.less_equal(g["n_words"], textstats.GOPHER_MAX_WORDS),
+                ),
+                pc.and_(
+                    pc.greater_equal(
+                        g["mean_word_len"], textstats.GOPHER_MIN_MEAN_WL
+                    ),
+                    pc.less_equal(
+                        g["mean_word_len"], textstats.GOPHER_MAX_MEAN_WL
+                    ),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less(g["symbol_ratio"], textstats.GOPHER_MAX_SYMBOL_RATIO),
+                    pc.less(g["bullet_frac"], textstats.GOPHER_MAX_BULLET_FRAC),
+                ),
+                pc.and_(
+                    pc.less(
+                        g["ellipsis_frac"], textstats.GOPHER_MAX_ELLIPSIS_FRAC
+                    ),
+                    pc.greater(
+                        g["alpha_word_frac"], textstats.GOPHER_MIN_ALPHA_FRAC
+                    ),
+                ),
+            ),
+        )
+        keep = pc.and_(pc.and_(pc.equal(t["lang"], "en"), g_ok), r["keep"])
+        return t.filter(keep)
+
+    survivors = docs.map_batches(gates, batch_format="pyarrow").materialize()
+
+    ded = exact_dedup(survivors)
+
+    def dup_keepers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_copies"], 1)).select(
+            ["md5_hash", "doc_id"]
+        )
+
+    dup_tables = [
+        t
+        for t in ray.get(
+            ded.map_batches(dup_keepers, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    keeper_map = {}
+    for t in dup_tables:
+        keeper_map.update(
+            zip(t["md5_hash"].to_pylist(), t["doc_id"].to_pylist())
+        )
+    keeper_ref = ray.put(keeper_map)
+
+    def drop_losers(t: pa.Table) -> pa.Table:
+        keepers = cached_get(keeper_ref)
+        if not keepers:
+            return t.drop_columns(["md5_hash"])
+        keep = [
+            h not in keepers or i == keepers[h]
+            for h, i in zip(
+                t["md5_hash"].to_pylist(), t["doc_id"].to_pylist()
+            )
+        ]
+        return t.filter(pa.array(keep, pa.bool_())).drop_columns(
+            ["md5_hash"]
+        )
+
+    unique_docs = survivors.map_batches(
+        add_md5_batch, batch_format="pyarrow"
+    ).map_batches(drop_losers, batch_format="pyarrow")
+    return pack_sequences(unique_docs)
+
+
+def _corpus_export_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         (n_words BETWEEN {textstats.GOPHER_MIN_WORDS}
+                      AND {textstats.GOPHER_MAX_WORDS}
+          AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WL}
+                                AND {textstats.GOPHER_MAX_MEAN_WL}
+          AND symbol_ratio < {textstats.GOPHER_MAX_SYMBOL_RATIO}
+          AND bullet_frac < {textstats.GOPHER_MAX_BULLET_FRAC}
+          AND ellipsis_frac < {textstats.GOPHER_MAX_ELLIPSIS_FRAC}
+          AND alpha_word_frac > {textstats.GOPHER_MIN_ALPHA_FRAC}) AS passes
+  FROM ({_gopher_sql()})
+), rep AS (
+  SELECT doc_id, keep FROM ({SQL_REPETITION_STATS})
+), s3 AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  JOIN g USING (doc_id) JOIN rep USING (doc_id)
+  WHERE d.lang = 'en' AND g.passes AND rep.keep
+), ded AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT s3.*, min(doc_id) OVER (PARTITION BY text) AS keeper FROM s3
+  ) WHERE doc_id = keeper
+), t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM ded
+), s AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_tok
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, start_tok,
+  start_tok // 512 AS bin_id,
+  CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
+       ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+  END AS n_bins
+FROM s
+"""
+
+
 # UT1-style blocklist: the host set a curation pass drops (CCNet /
 # RefinedWeb gate crawls against the UT1 adult/malware lists). Here a
 # deterministic 25% of the synthetic hosts stands in for the list.
@@ -4646,6 +4791,7 @@ QUERIES = {
     "term_postings": q_term_postings,
     "filter_funnel": q_filter_funnel,
     "domain_blocklist": q_domain_blocklist,
+    "corpus_export": q_corpus_export,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4746,6 +4892,7 @@ ORACLE_SQL = {
     "term_postings": SQL_TERM_POSTINGS,
     "filter_funnel": _filter_funnel_sql(),
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
+    "corpus_export": _corpus_export_sql(),
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

@@ -658,3 +658,20 @@ def test_domain_blocklist_drops_exactly_blocked_hosts(sf_dir):
     assert not set(out["host"]) & set(BLOCKED_HOSTS)
     # 5 of 20 hosts blocked -> exactly 75% of the corpus survives
     assert len(out) == 375
+
+
+def test_corpus_export_bins_are_contiguous(sf_dir):
+    out = (
+        QUERIES["corpus_export"](sf_dir)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0 and (out["lang"] == "en").all()
+    # the packed stream is gapless: each doc starts where the previous
+    # one ended
+    expect = 0
+    for _, row in out.iterrows():
+        assert row["start_tok"] == expect
+        expect += row["n_tokens"]
+    assert (out["bin_id"] == out["start_tok"] // 512).all()
