@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "filter_funnel",
     "domain_blocklist",
     "corpus_export",
+    "semantic_dedup",
 ]
 HEADLINE = "extract_e2e"
 

@@ -3271,6 +3271,75 @@ WHERE list_cosine_similarity(ea.e, eb.e) >= 0.1
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): LSH-bucketed
+    embedding similarity pairs -> distributed connected components ->
+    keep each cluster's min-vec_id representative. Same off-driver
+    loser-set broadcast as fuzzy_dedup; the embedding table never
+    shuffles. The 0.1 similarity threshold is a parameter — the
+    synthetic embeddings have no high-similarity near-dups, so the
+    demo exercises coarse clusters; a production run sets ~0.9+."""
+    from ..functions.broadcast import cached_get
+
+    pairs = q_embedding_near_dups_lsh(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["vec_a"], "doc_b": t["vec_b"]}
+        ),
+        batch_format="pyarrow",
+    )
+    clusters = relational.cluster_pairs_distributed(pairs)
+
+    def losers(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.not_equal(t["doc_id"], t["cluster_id"])
+        ).select(["doc_id"])
+
+    drop_tables = [
+        t
+        for t in ray.get(
+            clusters.map_batches(losers, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    drop = (
+        pa.concat_tables(drop_tables)["doc_id"].combine_chunks()
+        if drop_tables
+        else pa.chunked_array([pa.array([], pa.int64())])
+    )
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = cached_get(drop_ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch["vec_id"], value_set=d))
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE pairs AS ({SQL_EMBEDDING_NEAR_DUPS_LSH}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), clusters AS (
+  SELECT CAST(node AS BIGINT) AS vec_id,
+         CAST(min(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT v.vec_id
+FROM embeddings v LEFT JOIN clusters c USING (vec_id)
+WHERE c.vec_id IS NULL OR c.cluster_id = v.vec_id
+"""
+
+
 # ---------------------------------------------------------- registries
 
 # Registry ORDER is load-bearing: the driver correctness gate samples
@@ -4792,6 +4861,7 @@ QUERIES = {
     "filter_funnel": q_filter_funnel,
     "domain_blocklist": q_domain_blocklist,
     "corpus_export": q_corpus_export,
+    "semantic_dedup": q_semantic_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "ivf_topk": q_ivf_topk,
     "tfidf_terms": q_tfidf_terms,
@@ -4893,6 +4963,7 @@ ORACLE_SQL = {
     "filter_funnel": _filter_funnel_sql(),
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "corpus_export": _corpus_export_sql(),
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,
     "tfidf_terms": SQL_TFIDF_TERMS,

@@ -675,3 +675,27 @@ def test_corpus_export_bins_are_contiguous(sf_dir):
         assert row["start_tok"] == expect
         expect += row["n_tokens"]
     assert (out["bin_id"] == out["start_tok"] // 512).all()
+
+
+def test_semantic_dedup_keeps_one_rep_per_cluster(sf_dir):
+    from pdf_to_text_ray.pipelines.queries import (
+        q_embedding_near_dups_lsh,
+        q_semantic_dedup,
+    )
+    from pdf_to_text_ray.stages import relational
+
+    kept = {r["vec_id"] for r in q_semantic_dedup(sf_dir).take_all()}
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_near_dups_lsh(sf_dir).take_all()
+    ]
+    clusters = relational.cluster_pairs(pairs)
+    import pyarrow.parquet as _pq
+
+    all_ids = set(
+        _pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )["vec_id"].to_pylist()
+    )
+    want = {v for v in all_ids if clusters.get(v, v) == v}
+    assert kept == want and kept
