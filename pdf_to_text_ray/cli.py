@@ -114,6 +114,17 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         result = QUERIES[args.query](args.sf_dir)
+        # queries may return a Dataset, a pyarrow Table, or a pandas
+        # DataFrame (same dispatch as bench._consume)
+        import pandas as pd
+        import pyarrow as pa_mod
+
+        import ray.data as _rd
+
+        if isinstance(result, pd.DataFrame):
+            result = _rd.from_pandas(result)
+        elif isinstance(result, pa_mod.Table):
+            result = _rd.from_arrow(result)
         if args.output:
             # write_parquet appends uniquely-named files — rerunning
             # into a non-empty dir would silently duplicate rows, so
@@ -126,8 +137,6 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             result.write_parquet(args.output)
-            import ray.data as _rd
-
             n = _rd.read_parquet(args.output).count()
         else:
             n = result.count()
@@ -151,6 +160,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.to_warc:
         from .sources.warc import write_warc_shards
+
+        # shard names depend on block layout — writing a second
+        # generation beside an old one would mix both into any later
+        # --from-warc read (duplicate records), so refuse like the
+        # --query/--output path does
+        if os.path.isdir(args.to_warc) and os.listdir(args.to_warc):
+            print(
+                f"warc dir {args.to_warc!r} is not empty; use a fresh dir",
+                file=sys.stderr,
+            )
+            return 2
 
         manifest = write_warc_shards(
             synthesize_docs(args.sf_dir, args.repeat), args.to_warc

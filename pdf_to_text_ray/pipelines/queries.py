@@ -4187,6 +4187,60 @@ def q_fuzzy_dedup(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+def _gopher_subset_mask(g: pa.Table):
+    """Gopher rule conjunction MINUS the stopword-hit rule, shared by
+    the funnel and corpus-export gates (see q_filter_funnel's
+    docstring for why the stopword rule is omitted there). One
+    definition on each side of the oracle — the SQL twin is
+    :func:`_gopher_subset_sql`."""
+    return pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(g["n_words"], textstats.GOPHER_MIN_WORDS),
+                pc.less_equal(g["n_words"], textstats.GOPHER_MAX_WORDS),
+            ),
+            pc.and_(
+                pc.greater_equal(
+                    g["mean_word_len"], textstats.GOPHER_MIN_MEAN_WL
+                ),
+                pc.less_equal(
+                    g["mean_word_len"], textstats.GOPHER_MAX_MEAN_WL
+                ),
+            ),
+        ),
+        pc.and_(
+            pc.and_(
+                pc.less(g["symbol_ratio"], textstats.GOPHER_MAX_SYMBOL_RATIO),
+                pc.less(g["bullet_frac"], textstats.GOPHER_MAX_BULLET_FRAC),
+            ),
+            pc.and_(
+                pc.less(
+                    g["ellipsis_frac"], textstats.GOPHER_MAX_ELLIPSIS_FRAC
+                ),
+                pc.greater(
+                    g["alpha_word_frac"], textstats.GOPHER_MIN_ALPHA_FRAC
+                ),
+            ),
+        ),
+    )
+
+
+def _gopher_subset_sql() -> str:
+    """SQL twin of :func:`_gopher_subset_mask`: (doc_id, passes)."""
+    return f"""
+  SELECT doc_id,
+         (n_words BETWEEN {textstats.GOPHER_MIN_WORDS}
+                      AND {textstats.GOPHER_MAX_WORDS}
+          AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WL}
+                                AND {textstats.GOPHER_MAX_MEAN_WL}
+          AND symbol_ratio < {textstats.GOPHER_MAX_SYMBOL_RATIO}
+          AND bullet_frac < {textstats.GOPHER_MAX_BULLET_FRAC}
+          AND ellipsis_frac < {textstats.GOPHER_MAX_ELLIPSIS_FRAC}
+          AND alpha_word_frac > {textstats.GOPHER_MIN_ALPHA_FRAC}) AS passes
+  FROM ({_gopher_sql()})
+"""
+
+
 def q_corpus_export(sf_dir: str):
     """End-to-end training-corpus build — the composition a real
     curation run ships: gate docs (lang -> Gopher subset ->
@@ -4199,7 +4253,7 @@ def q_corpus_export(sf_dir: str):
     consumes."""
     from ..functions.broadcast import cached_get
     from ..stages import corpus
-    from ..stages.dedup import add_md5_batch, exact_dedup
+    from ..stages.dedup import add_md5_batch
     from ..stages.packing import pack_sequences
 
     docs = ray.data.read_parquet(
@@ -4210,42 +4264,23 @@ def q_corpus_export(sf_dir: str):
         body = t.select(["doc_id", "text"])
         g = textstats.gopher_quality_batch(body)
         r = corpus.repetition_batch(body)
-        g_ok = pc.and_(
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(g["n_words"], textstats.GOPHER_MIN_WORDS),
-                    pc.less_equal(g["n_words"], textstats.GOPHER_MAX_WORDS),
-                ),
-                pc.and_(
-                    pc.greater_equal(
-                        g["mean_word_len"], textstats.GOPHER_MIN_MEAN_WL
-                    ),
-                    pc.less_equal(
-                        g["mean_word_len"], textstats.GOPHER_MAX_MEAN_WL
-                    ),
-                ),
-            ),
-            pc.and_(
-                pc.and_(
-                    pc.less(g["symbol_ratio"], textstats.GOPHER_MAX_SYMBOL_RATIO),
-                    pc.less(g["bullet_frac"], textstats.GOPHER_MAX_BULLET_FRAC),
-                ),
-                pc.and_(
-                    pc.less(
-                        g["ellipsis_frac"], textstats.GOPHER_MAX_ELLIPSIS_FRAC
-                    ),
-                    pc.greater(
-                        g["alpha_word_frac"], textstats.GOPHER_MIN_ALPHA_FRAC
-                    ),
-                ),
-            ),
-        )
+        g_ok = _gopher_subset_mask(g)
         keep = pc.and_(pc.and_(pc.equal(t["lang"], "en"), g_ok), r["keep"])
         return t.filter(keep)
 
-    survivors = docs.map_batches(gates, batch_format="pyarrow").materialize()
-
-    ded = exact_dedup(survivors)
+    # hashed ONCE, materialized ONCE: the md5 column serves both the
+    # dedup groupby and the loser filter, and pack_sequences consumes
+    # its input twice (partials pass + fill pass) — without the
+    # materialize every consumer would replay the gates + hashing
+    hashed = (
+        docs.map_batches(gates, batch_format="pyarrow")
+        .map_batches(add_md5_batch, batch_format="pyarrow")
+        .materialize()
+    )
+    ded = hashed.groupby("md5_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_copies"),
+    )
 
     def dup_keepers(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["n_copies"], 1)).select(
@@ -4281,25 +4316,13 @@ def q_corpus_export(sf_dir: str):
             ["md5_hash"]
         )
 
-    unique_docs = survivors.map_batches(
-        add_md5_batch, batch_format="pyarrow"
-    ).map_batches(drop_losers, batch_format="pyarrow")
+    unique_docs = hashed.map_batches(drop_losers, batch_format="pyarrow")
     return pack_sequences(unique_docs)
 
 
 def _corpus_export_sql() -> str:
     return f"""
-WITH g AS (
-  SELECT doc_id,
-         (n_words BETWEEN {textstats.GOPHER_MIN_WORDS}
-                      AND {textstats.GOPHER_MAX_WORDS}
-          AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WL}
-                                AND {textstats.GOPHER_MAX_MEAN_WL}
-          AND symbol_ratio < {textstats.GOPHER_MAX_SYMBOL_RATIO}
-          AND bullet_frac < {textstats.GOPHER_MAX_BULLET_FRAC}
-          AND ellipsis_frac < {textstats.GOPHER_MAX_ELLIPSIS_FRAC}
-          AND alpha_word_frac > {textstats.GOPHER_MIN_ALPHA_FRAC}) AS passes
-  FROM ({_gopher_sql()})
+WITH g AS ({_gopher_subset_sql()}
 ), rep AS (
   SELECT doc_id, keep FROM ({SQL_REPETITION_STATS})
 ), s3 AS (
@@ -4414,44 +4437,7 @@ def q_filter_funnel(sf_dir: str):
         body = t.select(["doc_id", "text"])
         g = textstats.gopher_quality_batch(body)
         r = corpus.repetition_batch(body)
-        g_ok = pc.and_(
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(
-                        g["n_words"], textstats.GOPHER_MIN_WORDS
-                    ),
-                    pc.less_equal(g["n_words"], textstats.GOPHER_MAX_WORDS),
-                ),
-                pc.and_(
-                    pc.greater_equal(
-                        g["mean_word_len"], textstats.GOPHER_MIN_MEAN_WL
-                    ),
-                    pc.less_equal(
-                        g["mean_word_len"], textstats.GOPHER_MAX_MEAN_WL
-                    ),
-                ),
-            ),
-            pc.and_(
-                pc.and_(
-                    pc.less(
-                        g["symbol_ratio"], textstats.GOPHER_MAX_SYMBOL_RATIO
-                    ),
-                    pc.less(
-                        g["bullet_frac"], textstats.GOPHER_MAX_BULLET_FRAC
-                    ),
-                ),
-                pc.and_(
-                    pc.less(
-                        g["ellipsis_frac"],
-                        textstats.GOPHER_MAX_ELLIPSIS_FRAC,
-                    ),
-                    pc.greater(
-                        g["alpha_word_frac"],
-                        textstats.GOPHER_MIN_ALPHA_FRAC,
-                    ),
-                ),
-            ),
-        )
+        g_ok = _gopher_subset_mask(g)
         p1 = pc.equal(t["lang"], "en")
         p2 = pc.and_(p1, g_ok)
         p3 = pc.and_(p2, r["keep"])
@@ -4504,17 +4490,7 @@ def q_filter_funnel(sf_dir: str):
 
 def _filter_funnel_sql() -> str:
     return f"""
-WITH g AS (
-  SELECT doc_id,
-         (n_words BETWEEN {textstats.GOPHER_MIN_WORDS}
-                      AND {textstats.GOPHER_MAX_WORDS}
-          AND mean_word_len BETWEEN {textstats.GOPHER_MIN_MEAN_WL}
-                                AND {textstats.GOPHER_MAX_MEAN_WL}
-          AND symbol_ratio < {textstats.GOPHER_MAX_SYMBOL_RATIO}
-          AND bullet_frac < {textstats.GOPHER_MAX_BULLET_FRAC}
-          AND ellipsis_frac < {textstats.GOPHER_MAX_ELLIPSIS_FRAC}
-          AND alpha_word_frac > {textstats.GOPHER_MIN_ALPHA_FRAC}) AS passes
-  FROM ({_gopher_sql()})
+WITH g AS ({_gopher_subset_sql()}
 ), rep AS (
   SELECT doc_id, keep FROM ({SQL_REPETITION_STATS})
 ), s1 AS (

@@ -64,8 +64,13 @@ def _warc_date(ts_us: int) -> str:
 
 def _parse_date_us(s: str) -> int:
     # integer arithmetic: float total_seconds() loses ~1 us on large
-    # timestamps, breaking byte-faithful round-trips
-    d = datetime.strptime(s, _DATE_FMT) - _EPOCH
+    # timestamps, breaking byte-faithful round-trips. Real Common
+    # Crawl WARCs use the whole-second WARC 1.0 form (no .%f) — accept
+    # both.
+    try:
+        d = datetime.strptime(s, _DATE_FMT) - _EPOCH
+    except ValueError:
+        d = datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ") - _EPOCH
     return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
 
 
@@ -143,19 +148,17 @@ def _iter_records(buf: bytes):
         for line in buf[start:hdr_end].split(b"\r\n")[1:]:
             k, sep, v = line.partition(b":")
             if sep:
-                # header values round-trip utf-8 (the write side
-                # encodes utf-8; WARC names are case-insensitive)
-                headers[k.strip().decode("utf-8", "replace")] = v.strip().decode(
-                    "utf-8", "replace"
-                )
-        clen = -1
-        for hk, hv in headers.items():
-            if hk.lower() == "content-length":
-                try:
-                    clen = int(hv)
-                except ValueError:
-                    clen = -1
-                break
+                # values round-trip utf-8 (the write side encodes
+                # utf-8); names are case-insensitive per the WARC spec
+                # — normalized to lowercase once, here, so every
+                # downstream lookup is case-blind
+                headers[
+                    k.strip().decode("utf-8", "replace").lower()
+                ] = v.strip().decode("utf-8", "replace")
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            clen = -1
         if clen < 0:
             # malformed record: resync at the next record marker
             # instead of dropping the rest of the buffer
@@ -183,7 +186,11 @@ def _http_payload(block: bytes) -> bytes:
             except ValueError:
                 pass
     body = block[head_end + 4 :]
-    return body[:clen] if clen is not None and clen <= len(body) else body
+    return (
+        body[:clen]
+        if clen is not None and 0 <= clen <= len(body)
+        else body
+    )
 
 
 # ------------------------------------------------------------- sink
@@ -288,16 +295,17 @@ def _parse_bytes(data: bytes) -> pa.Table:
     langs: list[str] = []
     for member in _iter_members(data or b""):
         for headers, block in _iter_records(member):
-            wtype = headers.get("WARC-Type", "")
+            # header names arrive lowercased from _iter_records
+            wtype = headers.get("warc-type", "")
             if wtype not in ("response", "conversion"):
                 continue
-            urls.append(headers.get("WARC-Target-URI", ""))
+            urls.append(headers.get("warc-target-uri", ""))
             try:
-                tss.append(_parse_date_us(headers.get("WARC-Date", "")))
+                tss.append(_parse_date_us(headers.get("warc-date", "")))
             except ValueError:
                 tss.append(0)
             langs.append(
-                headers.get("WARC-Identified-Content-Language", "")
+                headers.get("warc-identified-content-language", "")
             )
             payloads.append(
                 _http_payload(block) if wtype == "response" else block

@@ -25,6 +25,8 @@ from pdf_to_text_ray.pipelines.extract import (
 )
 from pdf_to_text_ray.sources.synth import url_for
 
+from conftest import SF_DIR
+
 
 def _expected(documents_df: pd.DataFrame) -> dict[str, str]:
     out = {}
@@ -249,7 +251,7 @@ def test_cli_warc_round(tmp_path):
 
     out = subprocess.run(
         [sys.executable, "-m", "pdf_to_text_ray.cli", "--num-cpus", "2",
-         "--sf-dir", "/root/testdata/sf0.001", "--to-warc", wdir],
+         "--sf-dir", SF_DIR, "--to-warc", wdir],
         capture_output=True, text=True, cwd=root, env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]

@@ -21,9 +21,9 @@ def test_record_bytes_deterministic_and_parseable():
         "https://a.example/p", 1_700_000_000_123_456, payload, "en"
     )
     [(headers, block)] = list(W._iter_records(rec))
-    assert headers["WARC-Target-URI"] == "https://a.example/p"
-    assert headers["WARC-Identified-Content-Language"] == "en"
-    assert W._parse_date_us(headers["WARC-Date"]) == 1_700_000_000_123_456
+    assert headers["warc-target-uri"] == "https://a.example/p"
+    assert headers["warc-identified-content-language"] == "en"
+    assert W._parse_date_us(headers["warc-date"]) == 1_700_000_000_123_456
     # HTTP body slice is exact even with \r\n\r\n inside the payload
     assert W._http_payload(block) == payload
 
@@ -129,3 +129,31 @@ def test_date_roundtrip_is_microsecond_exact():
     for ts in (1090352934935922, 1, 999_999, 1_700_000_000_123_457,
                4102444799_999_999):
         assert W._parse_date_us(W._warc_date(ts)) == ts
+
+
+def test_foreign_warc_casing_and_whole_second_dates_parse():
+    """Shards written by other tools: non-canonical header casing and
+    the whole-second WARC 1.0 date form must still parse."""
+    rec = (
+        b"warc/1.0\r\n"  # marker itself must stay WARC/ — build manually
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"warc-type: response\r\n"
+        b"WARC-TARGET-URI: https://cc.example/a\r\n"
+        b"Warc-Date: 2016-01-01T12:00:00Z\r\n"
+        b"CONTENT-LENGTH: 43\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+        b"\r\n\r\n"
+    )
+    out = W._parse_bytes(rec)
+    assert out["url"].to_pylist() == ["https://cc.example/a"]
+    assert out["html"].to_pylist() == [b"hi"]
+    ts = out["warc_ts"].cast("int64").to_pylist()[0]
+    assert ts == 1451649600_000_000  # 2016-01-01T12:00:00Z in us
+
+
+def test_http_payload_rejects_negative_content_length():
+    block = b"HTTP/1.1 200 OK\r\nContent-Length: -5\r\n\r\npayload-bytes"
+    assert W._http_payload(block) == b"payload-bytes"
