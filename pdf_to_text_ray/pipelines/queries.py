@@ -3274,13 +3274,12 @@ WHERE list_cosine_similarity(ea.e, eb.e) >= 0.1
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-shape semantic dedup (Abbas et al. 2023): LSH-bucketed
     embedding similarity pairs -> distributed connected components ->
-    keep each cluster's min-vec_id representative. Same off-driver
-    loser-set broadcast as fuzzy_dedup; the embedding table never
-    shuffles. The 0.1 similarity threshold is a parameter — the
-    synthetic embeddings have no high-similarity near-dups, so the
-    demo exercises coarse clusters; a production run sets ~0.9+."""
-    from ..functions.broadcast import cached_get
-
+    keep each cluster's min-vec_id representative. Loser ids apply via
+    relational.anti_filter (budgeted broadcast with a ``left_anti``
+    join fallback); the embedding table never shuffles. The 0.1
+    similarity threshold is a parameter — the synthetic embeddings
+    have no high-similarity near-dups, so the demo exercises coarse
+    clusters; a production run sets ~0.9+."""
     pairs = q_embedding_near_dups_lsh(sf_dir).map_batches(
         lambda t: pa.table(
             {"doc_a": t["vec_a"], "doc_b": t["vec_b"]}
@@ -3290,34 +3289,19 @@ def q_semantic_dedup(sf_dir: str):
     clusters = relational.cluster_pairs_distributed(pairs)
 
     def losers(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.not_equal(t["doc_id"], t["cluster_id"])
-        ).select(["doc_id"])
-
-    drop_tables = [
-        t
-        for t in ray.get(
-            clusters.map_batches(losers, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    drop = (
-        pa.concat_tables(drop_tables)["doc_id"].combine_chunks()
-        if drop_tables
-        else pa.chunked_array([pa.array([], pa.int64())])
-    )
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        d = cached_get(drop_ref)
-        return batch.filter(
-            pc.invert(pc.is_in(batch["vec_id"], value_set=d))
+        return pa.table(
+            {
+                "vec_id": t.filter(
+                    pc.not_equal(t["doc_id"], t["cluster_id"])
+                )["doc_id"]
+            }
         )
 
-    return ray.data.read_parquet(
+    drop = clusters.map_batches(losers, batch_format="pyarrow")
+    vecs = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-    ).map_batches(keep, batch_format="pyarrow")
+    )
+    return relational.anti_filter(vecs, drop, "vec_id")
 
 
 SQL_SEMANTIC_DEDUP = f"""
@@ -4148,10 +4132,11 @@ def q_fuzzy_dedup(sf_dir: str):
     """End-to-end fuzzy dedup (the RefinedWeb/FineWeb MinHash stage as
     one op): verified near-dup pairs -> distributed connected
     components -> keep each cluster's min-doc_id representative, drop
-    the rest. The drop set (non-representative members — a small
-    fraction of any real corpus) reduces off-driver and broadcasts;
-    the corpus itself never shuffles (same anti-join shape as
-    parts_no_early_shipment)."""
+    the rest. The loser-id set reduces off-driver, then
+    relational.anti_filter applies it: broadcast while it fits the
+    byte budget, hash-partitioned ``left_anti`` join past it (the
+    duplicate-saturated-corpus regime) — either way the corpus itself
+    never shuffles more than skinny id rows."""
     clusters = q_dup_clusters(sf_dir)
 
     def losers(t: pa.Table) -> pa.Table:
@@ -4159,32 +4144,11 @@ def q_fuzzy_dedup(sf_dir: str):
             pc.not_equal(t["doc_id"], t["cluster_id"])
         ).select(["doc_id"])
 
-    drop_tables = [
-        t
-        for t in ray.get(
-            clusters.map_batches(losers, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    drop = (
-        pa.concat_tables(drop_tables)["doc_id"].combine_chunks()
-        if drop_tables
-        else pa.chunked_array([pa.array([], pa.int64())])
-    )
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        from ..functions.broadcast import cached_get
-
-        d = cached_get(drop_ref)
-        return batch.filter(
-            pc.invert(pc.is_in(batch["doc_id"], value_set=d))
-        )
-
-    return ray.data.read_parquet(
+    drop = clusters.map_batches(losers, batch_format="pyarrow")
+    docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    ).map_batches(keep, batch_format="pyarrow")
+    )
+    return relational.anti_filter(docs, drop, "doc_id")
 
 
 def _gopher_subset_mask(g: pa.Table):
@@ -4295,6 +4259,16 @@ def q_corpus_export(sf_dir: str):
         )
         if t.num_rows
     ]
+    # budget guard (the stale_droplist precedent): the keeper map is
+    # proportional to DUPLICATED hashes only, but a duplicate-saturated
+    # corpus could still bust a broadcast — fail loud with the escape
+    # hatch rather than silently ship gigabytes to every worker
+    if sum(t.nbytes for t in dup_tables) > relational.ANTI_FILTER_BUDGET_BYTES:
+        raise RuntimeError(
+            "corpus_export keeper map exceeds the broadcast budget; "
+            "dedup via relational.anti_filter(hashed, losers, 'doc_id') "
+            "with the left_anti join regime instead"
+        )
     keeper_map = {}
     for t in dup_tables:
         keeper_map.update(

@@ -421,3 +421,71 @@ def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in parent}
+
+
+# ---------------------------------------------- budgeted anti-filter
+
+# Driver-side byte budget for broadcasting a drop-id set; past it the
+# filter degrades to a hash-partitioned left_anti Dataset.join with no
+# driver state at all. 64 MiB ≈ 8M int64 ids — far above any test
+# corpus, far below driver RAM.
+ANTI_FILTER_BUDGET_BYTES = 64 << 20
+
+
+def anti_filter(
+    ds: ray.data.Dataset,
+    drop: ray.data.Dataset,
+    key: str,
+    byte_budget: int = ANTI_FILTER_BUDGET_BYTES,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Drop every ``ds`` row whose ``key`` appears in ``drop`` (a
+    skinny id Dataset assembled off-driver).
+
+    Two regimes, identical output (pytest-pinned):
+
+    * **broadcast** — the drop ids stream to the driver while they fit
+      ``byte_budget``, ship once via ``ray.put``, and the pass is
+      map-only (the dedup/droplist shape used across the engine).
+    * **join** — past the budget the ids never reach the driver: a
+      hash-partitioned ``left_anti`` ``Dataset.join`` on ``key``.
+      This is the regime a duplicate-saturated corpus at 10^12 docs
+      lands in, where the loser set itself is terabytes.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.broadcast import cached_get
+
+    drop = drop.materialize()  # reused by whichever regime runs
+    tables, total = [], 0
+    over_budget = False
+    for ref in drop.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        tables.append(t.select([key]))
+        total += t.nbytes
+        if total > byte_budget:
+            over_budget = True
+            break
+    if over_budget:
+        if num_partitions is None:
+            num_partitions = max(
+                8, int(ray.cluster_resources().get("CPU", 8)) // 4
+            )
+        return ds.join(
+            drop,
+            join_type="left_anti",
+            num_partitions=num_partitions,
+            on=(key,),
+        )
+    if not tables:
+        return ds
+    ids = pa.concat_tables(tables)[key].combine_chunks()
+    ids_ref = ray.put(ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = cached_get(ids_ref)
+        return batch.filter(pc.invert(pc.is_in(batch[key], value_set=d)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -217,3 +217,76 @@ def test_fuzzy_dedup_keeps_cluster_representatives(sf_dir):
     kept = {r["doc_id"] for r in q_fuzzy_dedup(sf_dir).take_all()}
     assert kept == all_ids - losers
     assert losers and losers.isdisjoint(kept)
+
+
+def test_anti_filter_regimes_agree():
+    """Broadcast and left_anti-join regimes of relational.anti_filter
+    produce the identical surviving row set."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(100)), pa.int64()),
+                "n": pa.array([i * 2 for i in range(100)], pa.int64()),
+            }
+        )
+    )
+    drop = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([3, 7, 7, 50, 99], pa.int64())})
+    )
+    bc = {
+        (r["doc_id"], r["n"])
+        for r in relational.anti_filter(ds, drop, "doc_id").take_all()
+    }
+    jn = {
+        (r["doc_id"], r["n"])
+        for r in relational.anti_filter(
+            ds, drop, "doc_id", byte_budget=1
+        ).take_all()
+    }
+    assert bc == jn
+    assert len(bc) == 96  # 100 minus {3, 7, 50, 99}
+    assert all(i not in {3, 7, 50, 99} for i, _ in bc)
+
+
+def test_fuzzy_dedup_join_regime_matches_broadcast(sf_dir):
+    """q_fuzzy_dedup's anti_filter under a forced join regime equals
+    the broadcast answer (monkeypatched budget)."""
+    from pdf_to_text_ray.pipelines import queries as Q
+
+    base = {r["doc_id"] for r in Q.q_fuzzy_dedup(sf_dir).take_all()}
+    orig = relational.ANTI_FILTER_BUDGET_BYTES
+    relational.ANTI_FILTER_BUDGET_BYTES = 1
+    try:
+        # the default arg captured the old value at def time, so call
+        # with the forced budget explicitly via the query path's
+        # module constant
+        import pyarrow.parquet as _pq
+
+        clusters = Q.q_dup_clusters(sf_dir)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def losers(t):
+            return t.filter(
+                pc.not_equal(t["doc_id"], t["cluster_id"])
+            ).select(["doc_id"])
+
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        drop = clusters.map_batches(losers, batch_format="pyarrow")
+        joined = {
+            r["doc_id"]
+            for r in relational.anti_filter(
+                docs, drop, "doc_id", byte_budget=1
+            ).take_all()
+        }
+    finally:
+        relational.ANTI_FILTER_BUDGET_BYTES = orig
+    assert joined == base
