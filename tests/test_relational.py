@@ -290,3 +290,34 @@ def test_fuzzy_dedup_join_regime_matches_broadcast(sf_dir):
     finally:
         relational.ANTI_FILTER_BUDGET_BYTES = orig
     assert joined == base
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_anti_filter_regimes_agree_randomized(seed):
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    rng = random.Random(seed)
+    n = rng.randint(1, 200)
+    ids = rng.sample(range(1000), n)
+    drops = [rng.choice(range(1000)) for _ in range(rng.randint(0, 50))]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})
+    )
+    drop = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(drops, pa.int64())})
+    )
+    want = {i for i in ids if i not in set(drops)}
+    bc = {
+        r["doc_id"]
+        for r in relational.anti_filter(ds, drop, "doc_id").take_all()
+    }
+    jn = {
+        r["doc_id"]
+        for r in relational.anti_filter(
+            ds, drop, "doc_id", byte_budget=1
+        ).take_all()
+    }
+    assert bc == want and jn == want
