@@ -1272,7 +1272,12 @@ def q_doclen_quantiles(sf_dir: str):
     cum = hist["n"].cumsum()
     qs = []
     for q in (0.25, 0.5, 0.75, 0.9, 0.99):
-        target = int(q * (total - 1)) + 1  # quantile_disc semantics
+        # quantile_disc rank = ceil(q * n), 1-indexed — probed against
+        # DuckDB across n/q grids; floor(q*(n-1))+1 only coincides on
+        # some corpus sizes (caught by tests/test_differential.py)
+        import math
+
+        target = max(1, math.ceil(q * total))
         qs.append(int(hist.loc[cum >= target, "len"].iloc[0]))
     return pa.table(
         {
@@ -2209,19 +2214,25 @@ def q_sentence_split(sf_dir: str):
 
 
 # RE2 (DuckDB) has no lookbehind: mark boundaries, then split.
+# Edge alignment with the engine's str.strip() semantics (caught by
+# tests/test_differential.py): strip ALL leading/trailing whitespace
+# (DuckDB trim() removes spaces only, not tabs/newlines) and emit ''
+# (not NULL) for sentence-less docs.
 SQL_SENTENCE_SPLIT = f"""
 WITH marked AS (
   SELECT doc_id,
     list_filter(
       string_split(
-        regexp_replace(trim(text), '([.!?])\\s+', '\\1{_US}', 'g'),
+        regexp_replace(
+          regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''),
+          '([.!?])\\s+', '\\1{_US}', 'g'),
         '{_US}'),
       s -> s <> '') AS sents
   FROM documents
 )
 SELECT doc_id,
   CAST(length(sents) AS BIGINT) AS n_sentences,
-  list_aggregate(sents, 'string_agg', '{_US}') AS sentences
+  coalesce(list_aggregate(sents, 'string_agg', '{_US}'), '') AS sentences
 FROM marked
 """
 

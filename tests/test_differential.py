@@ -1,0 +1,137 @@
+"""Differential fuzzing of the query/oracle contract.
+
+The driver gate and tools/check_oracle.py prove Ray/SQL agreement on
+the SYNTHETIC corpus — whose texts are lowercase ASCII words with
+single spaces. These tests re-run a broad slice of the text-op
+query/oracle pairs on RANDOMIZED corpora the synthesizer never
+produces (punctuation tokens, digits, newlines/tabs, empty and
+whitespace-only docs, cross-doc boilerplate lines, exact duplicate
+docs, mixed-case words) and require the same bit-level agreement.
+Agreement here means the engine's tokenization/hashing/aggregation
+semantics match the documented SQL contract, not just one dataset.
+
+Unicode caveat (documented, deliberate): texts stay ASCII because
+Python's ``re`` and DuckDB's RE2 genuinely differ on non-ASCII
+``\\s``/``[a-z]`` classes; the engine's contract is the ASCII corpus
+the north star describes (extraction normalizes upstream).
+"""
+
+import os
+import random
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+from check_oracle import compare, to_pandas  # noqa: E402
+
+from pdf_to_text_ray.pipelines.queries import ORACLE_SQL, QUERIES  # noqa: E402
+
+_WORDS = (
+    "alpha beta GAMMA delta42 epsilon zeta-xi #tag a.b.c 12345 -- "
+    "the of and to in is it you that he was for on are stop"
+).split()
+
+
+def _random_corpus(seed: int, n_docs: int = 60) -> pa.Table:
+    rng = random.Random(seed)
+    texts, langs = [], []
+    boiler = " ".join(rng.choices(_WORDS, k=10))
+    for i in range(n_docs):
+        kind = rng.random()
+        if kind < 0.05:
+            t = ""
+        elif kind < 0.10:
+            t = "   \t  "
+        else:
+            words = rng.choices(_WORDS, k=rng.randint(1, 120))
+            t = " ".join(words)
+            if rng.random() < 0.3:  # newlines + double spaces
+                t = t.replace(" ", "\n", 3).replace(" ", "  ", 2)
+            if rng.random() < 0.3:  # cross-doc boilerplate line
+                t = boiler + " " + t
+        texts.append(t)
+        langs.append(rng.choice(["en", "de", "fr", "es", "zh"]))
+    # exact duplicate docs
+    for j in range(4):
+        texts.append(texts[j])
+        langs.append(langs[j])
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["fuzz"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+# Text-only query/oracle pairs that read nothing but documents.parquet.
+DIFFERENTIAL_QUERIES = [
+    "token_stats",
+    "quality",
+    "lang_id",
+    "lang_confusion",
+    "longest_doc_per_lang",
+    "dedup_exact",
+    "line_dedup",
+    "boilerplate_lines",
+    "dup_ngram_spans",
+    "dsir_weights",
+    "bigram_logprob",
+    "unigram_logprob",
+    "tfidf_terms",
+    "term_postings",
+    "repetition_stats",
+    "gopher_quality",
+    "top_words",
+    "doclen_quantiles",
+    "sentence_split",
+    "train_val_split",
+    "stratified_sample",
+    "temperature_mix",
+    "pack_sequences",
+    "filter_funnel",
+    "corpus_export",
+    "text_windows",
+    "pii_redact",
+    "topic_classify",
+    "fingerprint",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "dup_clusters",
+    "fuzzy_dedup",
+    "url_canonicalize",
+    "domain_blocklist",
+    "bloom_new_urls",
+]
+
+
+@pytest.fixture(scope="module", params=[11, 23])
+def fuzz_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzzcorpus{request.param}")
+    pq.write_table(_random_corpus(request.param), str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DIFFERENTIAL_QUERIES)
+def test_query_matches_oracle_on_random_corpus(name, fuzz_dir):
+    got = to_pandas(QUERIES[name](fuzz_dir))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fuzz_dir}/documents.parquet')"
+    )
+    exp = con.sql(ORACLE_SQL[name]).df()
+    problems = compare(name, got, exp)
+    assert not problems, f"{name}: " + "; ".join(problems[:3])
