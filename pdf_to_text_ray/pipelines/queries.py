@@ -341,9 +341,13 @@ def q_ocr_whitelist(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# strip ALL whitespace at both ends (python str.strip semantics —
+# DuckDB trim() removes spaces only; caught by test_differential)
 SQL_OCR_WHITELIST = """
 SELECT doc_id,
-  trim(regexp_replace(text, '[^A-Za-z0-9.,!?;:''"\\\\\\-\\s]', '', 'g')) AS cleaned
+  regexp_replace(regexp_replace(
+    regexp_replace(text, '[^A-Za-z0-9.,!?;:''"\\\\\\-\\s]', '', 'g'),
+    '^\\s+', ''), '\\s+$', '') AS cleaned
 FROM documents
 """
 

@@ -117,6 +117,65 @@ DIFFERENTIAL_QUERIES = [
 ]
 
 
+# Extraction-contract vocabulary: single-space-joined tokens drawn
+# from the OCR whitelist alphabet (A-Za-z0-9.,!?;:'"-). A short final
+# PDF page legitimately routes to OCR, whose reference-faithful
+# whitelist (M7) strips anything else — so '#' etc. belong only to
+# the free-form corpus, where no extraction query runs.
+_CONTRACT_WORDS = (
+    "alpha beta GAMMA delta42 epsilon zeta-xi a.b.c 12345 -- it's "
+    'he said "so" what?! end. semi; colon: the of and to in is'
+).split()
+
+
+def _random_singlespace_corpus(seed: int, n_docs: int = 50) -> pa.Table:
+    """Random corpus honoring the synthesizer's documented text
+    contract: non-empty, single-space-joined whitelist-alphabet
+    tokens, no leading or trailing whitespace. The
+    extraction/pagination oracles reconstruct pages under exactly this
+    contract, so they are fuzzed on it (the free-form corpus above
+    exercises everything else)."""
+    rng = random.Random(seed)
+    texts = [
+        " ".join(rng.choices(_CONTRACT_WORDS, k=rng.randint(1, 200)))
+        for _ in range(n_docs)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [rng.choice(["en", "de", "fr", "es", "zh"]) for _ in texts],
+                pa.string(),
+            ),
+            "source": pa.array(["fuzz"] * n_docs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+# Extraction/pagination family: oracle SQL reconstructs page layout
+# under the single-space corpus contract (SURVEY §1/F1), so these fuzz
+# on the contract-conforming random corpus.
+EXTRACTION_QUERIES = [
+    "extract_e2e",
+    "warc_extract",
+    "wet_roundtrip",
+    "combine_pages_ref",
+    "combine_pages_lex",
+    "chunk_pages",
+    "extraction_metrics",
+    "domain_stats",
+    "route_counts",
+    "ocr_whitelist",
+    "normalize_text",
+    "clean_text",
+    "sniff_doc_types",
+    "markdown_report",
+    "longest_docs",
+]
+
+
 @pytest.fixture(scope="module", params=[11, 23])
 def fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzcorpus{request.param}")
@@ -124,14 +183,35 @@ def fuzz_dir(request, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", DIFFERENTIAL_QUERIES)
-def test_query_matches_oracle_on_random_corpus(name, fuzz_dir):
-    got = to_pandas(QUERIES[name](fuzz_dir))
+@pytest.fixture(scope="module", params=[31])
+def fuzz_dir_singlespace(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzzss{request.param}")
+    pq.write_table(
+        _random_singlespace_corpus(request.param),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _check(name: str, sf_dir: str) -> None:
+    got = to_pandas(QUERIES[name](sf_dir))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{fuzz_dir}/documents.parquet')"
+        f"read_parquet('{sf_dir}/documents.parquet')"
     )
     exp = con.sql(ORACLE_SQL[name]).df()
     problems = compare(name, got, exp)
     assert not problems, f"{name}: " + "; ".join(problems[:3])
+
+
+@pytest.mark.parametrize("name", DIFFERENTIAL_QUERIES)
+def test_query_matches_oracle_on_random_corpus(name, fuzz_dir):
+    _check(name, fuzz_dir)
+
+
+@pytest.mark.parametrize("name", EXTRACTION_QUERIES)
+def test_extraction_matches_oracle_on_contract_corpus(
+    name, fuzz_dir_singlespace
+):
+    _check(name, fuzz_dir_singlespace)
