@@ -215,3 +215,106 @@ def test_extraction_matches_oracle_on_contract_corpus(
     name, fuzz_dir_singlespace
 ):
     _check(name, fuzz_dir_singlespace)
+
+
+# ------------------------- events / embeddings table randomization
+
+def _random_events(seed: int, n: int = 400) -> pa.Table:
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    base = datetime(2026, 3, 1)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + timedelta(seconds=rng.randint(0, 6 * 86400)),
+                rng.randint(1, 25),
+                rng.choice(["signup", "click", "error", "view", "purchase"]),
+                round(rng.uniform(0, 50), 2),
+                '{"k": %d}' % rng.randint(0, 99),
+            )
+        )
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+def _random_embeddings(seed: int, n: int = 150, dim: int = 64) -> pa.Table:
+    rng = random.Random(seed)
+    vecs = [
+        [round(rng.gauss(0, 1), 4) for _ in range(dim)] for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(
+                [rng.randint(0, 4) for _ in range(n)], pa.int32()
+            ),
+        }
+    )
+
+
+EVENT_QUERIES = [
+    "events_hourly",
+    "events_sliding",
+    "events_sessionize",
+    "funnel_conversion",
+    "event_props",
+]
+
+EMBEDDING_QUERIES = [
+    "embedding_near_dups",
+    "embedding_near_dups_lsh",
+    "semantic_dedup",
+    "lsh_topk",
+]
+
+
+@pytest.fixture(scope="module", params=[41, 53])
+def fuzz_events_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzzev{request.param}")
+    pq.write_table(_random_events(request.param), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module", params=[61])
+def fuzz_embed_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzzem{request.param}")
+    pq.write_table(
+        _random_embeddings(request.param), str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+def _check_table(name: str, sf_dir: str, table: str) -> None:
+    got = to_pandas(QUERIES[name](sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    exp = con.sql(ORACLE_SQL[name]).df()
+    problems = compare(name, got, exp)
+    assert not problems, f"{name}: " + "; ".join(problems[:3])
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_query_matches_oracle_on_random_events(name, fuzz_events_dir):
+    _check_table(name, fuzz_events_dir, "events")
+
+
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_embedding_query_matches_oracle_on_random_vectors(
+    name, fuzz_embed_dir
+):
+    _check_table(name, fuzz_embed_dir, "embeddings")

@@ -31,6 +31,22 @@ def to_pandas(res) -> pd.DataFrame:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        dt = str(df[c].dtype)
+        # pandas nullable extension dtypes (Int64/Float64/boolean, as
+        # produced by Arrow columns with nulls) -> plain numpy dtypes
+        # so they compare against DuckDB's float64/bool output
+        if dt in ("Int64", "Int32", "Int16", "Float64", "Float32"):
+            df[c] = (
+                df[c].astype("float64")
+                if df[c].isna().any() or dt.startswith("Float")
+                else df[c].astype("int64")
+            )
+        elif dt == "boolean":
+            df[c] = (
+                df[c].astype(object)
+                if df[c].isna().any()
+                else df[c].astype("bool")
+            )
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         # uniform numeric widths
