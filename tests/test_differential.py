@@ -318,3 +318,218 @@ def test_embedding_query_matches_oracle_on_random_vectors(
     name, fuzz_embed_dir
 ):
     _check_table(name, fuzz_embed_dir, "embeddings")
+
+
+# --------------------------- relational (TPC-H-ish) randomization
+
+def _random_relational(seed: int, tmpdir: str) -> None:
+    """FK-consistent random warehouse with deliberate skew: one hot
+    customer owns ~20% of orders, duplicate part keys in lineitem,
+    some customers/segments with zero orders."""
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    n_cust, n_orders, n_parts, n_supp, n_line = 40, 250, 30, 12, 500
+    segs = ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"]
+    # TPC-H-era dates: lineitem shipdates must STRADDLE the Q1 cutoff
+    # (1998-09-02) so the pricing filter keeps some rows and drops some
+    base = datetime(1997, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(3), pa.int32()),
+                "r_name": pa.array(["AMERICA", "ASIA", "EUROPE"], pa.string()),
+            }
+        ),
+        f"{tmpdir}/region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(8), pa.int32()),
+                "n_name": pa.array([f"NATION{i}" for i in range(8)], pa.string()),
+                "n_regionkey": pa.array(
+                    [rng.randrange(3) for _ in range(8)], pa.int32()
+                ),
+            }
+        ),
+        f"{tmpdir}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer{i}" for i in range(n_cust)], pa.string()
+                ),
+                "c_nationkey": pa.array(
+                    [rng.randrange(8) for _ in range(n_cust)], pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    [round(rng.uniform(-999, 9999), 2) for _ in range(n_cust)],
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    [rng.choice(segs) for _ in range(n_cust)], pa.string()
+                ),
+            }
+        ),
+        f"{tmpdir}/customer.parquet",
+    )
+    hot = rng.randrange(n_cust)  # skewed key
+    custkeys = [
+        hot if rng.random() < 0.2 else rng.randrange(n_cust)
+        for _ in range(n_orders)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_orders), pa.int64()),
+                "o_custkey": pa.array(custkeys, pa.int64()),
+                "o_orderstatus": pa.array(
+                    [rng.choice("OFP") for _ in range(n_orders)], pa.string()
+                ),
+                "o_totalprice": pa.array(
+                    [round(rng.uniform(1, 99999), 2) for _ in range(n_orders)],
+                    pa.float64(),
+                ),
+                "o_orderdate": pa.array(
+                    [
+                        base + timedelta(hours=rng.randint(0, 24 * 180))
+                        for _ in range(n_orders)
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    [rng.choice(["1-URGENT", "2-HIGH", "3-LOW"]) for _ in range(n_orders)],
+                    pa.string(),
+                ),
+            }
+        ),
+        f"{tmpdir}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_parts), pa.int64()),
+                "p_name": pa.array(
+                    [f"part {i} widget" for i in range(n_parts)], pa.string()
+                ),
+                "p_brand": pa.array(
+                    [f"Brand#{i % 5}" for i in range(n_parts)], pa.string()
+                ),
+                "p_type": pa.array(["STANDARD"] * n_parts, pa.string()),
+                "p_size": pa.array(
+                    [rng.randint(1, 50) for _ in range(n_parts)], pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    [round(rng.uniform(100, 2000), 2) for _ in range(n_parts)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        f"{tmpdir}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier{i}" for i in range(n_supp)], pa.string()
+                ),
+                "s_nationkey": pa.array(
+                    [rng.randrange(8) for _ in range(n_supp)], pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    [round(rng.uniform(0, 9999), 2) for _ in range(n_supp)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        f"{tmpdir}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(
+                    [rng.randrange(n_orders) for _ in range(n_line)], pa.int64()
+                ),
+                "l_partkey": pa.array(
+                    [rng.randrange(n_parts) for _ in range(n_line)], pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    [rng.randrange(n_supp) for _ in range(n_line)], pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    [rng.randint(1, 7) for _ in range(n_line)], pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    [float(rng.randint(1, 50)) for _ in range(n_line)],
+                    pa.float64(),
+                ),
+                "l_extendedprice": pa.array(
+                    [round(rng.uniform(10, 9999), 2) for _ in range(n_line)],
+                    pa.float64(),
+                ),
+                "l_discount": pa.array(
+                    [round(rng.uniform(0, 0.1), 2) for _ in range(n_line)],
+                    pa.float64(),
+                ),
+                "l_tax": pa.array(
+                    [round(rng.uniform(0, 0.08), 2) for _ in range(n_line)],
+                    pa.float64(),
+                ),
+                "l_returnflag": pa.array(
+                    [rng.choice("RAN") for _ in range(n_line)], pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    [rng.choice("OF") for _ in range(n_line)], pa.string()
+                ),
+                "l_shipdate": pa.array(
+                    [
+                        base + timedelta(hours=rng.randint(0, 24 * 900))
+                        for _ in range(n_line)
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        f"{tmpdir}/lineitem.parquet",
+    )
+
+
+RELATIONAL_QUERIES = [
+    "join_orders_segment",
+    "join_orders_segment_bcast",
+    "revenue_by_region",
+    "pricing_summary",
+    "parts_no_early_shipment",
+    "supplier_revenue",
+]
+
+
+@pytest.fixture(scope="module", params=[71])
+def fuzz_rel_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzzrel{request.param}")
+    _random_relational(request.param, str(d))
+    # events_asof_orders pairs events with orders
+    pq.write_table(_random_events(request.param), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES + ["events_asof_orders"])
+def test_relational_query_matches_oracle_on_random_warehouse(
+    name, fuzz_rel_dir
+):
+    got = to_pandas(QUERIES[name](fuzz_rel_dir))
+    con = duckdb.connect()
+    for tbl in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{fuzz_rel_dir}/{tbl}.parquet')"
+        )
+    exp = con.sql(ORACLE_SQL[name]).df()
+    problems = compare(name, got, exp)
+    assert not problems, f"{name}: " + "; ".join(problems[:3])
