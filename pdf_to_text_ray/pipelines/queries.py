@@ -1099,7 +1099,9 @@ WITH marked AS (
   SELECT doc_id,
     list_filter(
       string_split(
-        regexp_replace(trim(text), '([.!?])\\s+', '\\1{_US}', 'g'),
+        regexp_replace(
+          regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''),
+          '([.!?])\\s+', '\\1{_US}', 'g'),
         '{_US}'),
       s -> s <> '') AS sents
   FROM documents

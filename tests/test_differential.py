@@ -114,6 +114,19 @@ DIFFERENTIAL_QUERIES = [
     "url_canonicalize",
     "domain_blocklist",
     "bloom_new_urls",
+    "prepare_text",
+    "ngram_jaccard",
+    "crawl_delta",
+    "decontaminate",
+    "training_corpus",
+    "ccnet_buckets",
+    "html_metadata",
+    "size_class_counts",
+    "image_decode",
+    "image_resize",
+    "video_frame_sample",
+    "media_features",
+    "summarize",
 ]
 
 
@@ -533,3 +546,59 @@ def test_relational_query_matches_oracle_on_random_warehouse(
     exp = con.sql(ORACLE_SQL[name]).df()
     problems = compare(name, got, exp)
     assert not problems, f"{name}: " + "; ".join(problems[:3])
+
+
+# ------------------------------- markdown / render / blueprint family
+
+# These oracles RECONSTRUCT the markdown generator's layout (SURVEY
+# M16/O3), so their contract additionally requires content tokens that
+# cannot be mistaken for markdown markers: no leading -/*/#/[ (bullet,
+# heading, image-tag syntax) and no double quotes (blueprint JSON
+# strings). The synthesizer's [a-z]+ vocabulary guarantees this; the
+# fuzz vocabulary here stretches it to mixed case, digits and inner
+# punctuation while honoring the marker rule.
+_MD_SAFE_WORDS = (
+    "alpha beta GAMMA delta42 epsilon zeta.xi a'b end. what?! semi; "
+    "colon: the of and to in is it you that he was for on are stop"
+).split()
+
+MARKDOWN_QUERIES = [
+    "markdown_structure",
+    "blueprint_validate",
+    "blueprint_generate",
+    "render_outputs",
+    "render_pptx_styled",
+    "slide_windows",
+    "chart_parse",
+    "markdown_report",
+    "summarize",
+]
+
+
+@pytest.fixture(scope="module", params=[83])
+def fuzz_md_dir(request, tmp_path_factory):
+    rng = random.Random(request.param)
+    n_docs = 40
+    texts = [
+        " ".join(rng.choices(_MD_SAFE_WORDS, k=rng.randint(1, 150)))
+        for _ in range(n_docs)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [rng.choice(["en", "de", "fr"]) for _ in texts], pa.string()
+            ),
+            "source": pa.array(["fuzz"] * n_docs, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp(f"fuzzmd{request.param}")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", MARKDOWN_QUERIES)
+def test_markdown_family_matches_oracle_on_safe_corpus(name, fuzz_md_dir):
+    _check(name, fuzz_md_dir)

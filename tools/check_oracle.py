@@ -22,7 +22,17 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            # an all-empty Dataset loses its schema through to_pandas;
+            # rebuild the empty frame with the declared column names so
+            # a legitimate 0-row result still column-matches the oracle
+            sch = res.schema(fetch_if_missing=True)
+            if sch is not None:
+                df = pd.DataFrame(
+                    {n: pd.Series(dtype="object") for n in sch.names}
+                )
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
