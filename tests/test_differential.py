@@ -290,6 +290,8 @@ EMBEDDING_QUERIES = [
     "embedding_near_dups_lsh",
     "semantic_dedup",
     "lsh_topk",
+    "ann_cosine_topk",
+    "ivf_topk",
 ]
 
 
