@@ -196,7 +196,7 @@ def fuzz_dir(request, tmp_path_factory):
     return str(d)
 
 
-@pytest.fixture(scope="module", params=[31])
+@pytest.fixture(scope="module", params=[31, 47])
 def fuzz_dir_singlespace(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzss{request.param}")
     pq.write_table(
@@ -302,7 +302,7 @@ def fuzz_events_dir(request, tmp_path_factory):
     return str(d)
 
 
-@pytest.fixture(scope="module", params=[61])
+@pytest.fixture(scope="module", params=[61, 67])
 def fuzz_embed_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzem{request.param}")
     pq.write_table(
@@ -523,7 +523,7 @@ RELATIONAL_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module", params=[71])
+@pytest.fixture(scope="module", params=[71, 79])
 def fuzz_rel_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzrel{request.param}")
     _random_relational(request.param, str(d))
@@ -577,7 +577,7 @@ MARKDOWN_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module", params=[83])
+@pytest.fixture(scope="module", params=[83, 97])
 def fuzz_md_dir(request, tmp_path_factory):
     rng = random.Random(request.param)
     n_docs = 40
