@@ -66,3 +66,25 @@ def test_size_class_bucketing(xl_corpus):
     assert by_url["https://small.example/0"] == "s"
     n_bytes = dict(zip(sniffed["url"].to_pylist(), sniffed["n_bytes"].to_pylist()))
     assert n_bytes["https://xl.example/giant"] == len(rows[0]["html"])
+
+
+def test_xl_pdf_survives_warc_container_round(xl_corpus, tmp_path):
+    """The 300-page PDF round-trips through gzip WARC shards and
+    extracts byte-identically to the direct path — container framing
+    must be payload-size-agnostic."""
+    from pdf_to_text_ray.pipelines.extract import extract_pipeline
+    from pdf_to_text_ray.sources.warc import read_warc, write_warc_shards
+
+    rows, expected_text = xl_corpus
+    docs = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    write_warc_shards(docs, str(tmp_path))
+    out = {
+        r["url"]: r
+        for r in extract_pipeline(
+            read_warc(str(tmp_path)), DEFAULT_CONFIG
+        ).take_all()
+    }
+    giant = out["https://xl.example/giant"]
+    assert giant["n_pages"] == 300 and giant["parse_ok"]
+    assert giant["text"] == expected_text
+    assert len(out) == 51
