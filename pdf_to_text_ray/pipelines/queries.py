@@ -1274,15 +1274,19 @@ def q_doclen_quantiles(sf_dir: str):
         .to_pandas()
         .sort_values("len")
     )
-    total = int(hist["n"].sum())
+    import math
+
+    total = int(hist["n"].sum()) if len(hist) else 0
     cum = hist["n"].cumsum()
-    qs = []
+    qs: list = []
     for q in (0.25, 0.5, 0.75, 0.9, 0.99):
         # quantile_disc rank = ceil(q * n), 1-indexed — probed against
         # DuckDB across n/q grids; floor(q*(n-1))+1 only coincides on
-        # some corpus sizes (caught by tests/test_differential.py)
-        import math
-
+        # some corpus sizes (caught by tests/test_differential.py).
+        # Zero-row input yields NULLs, like quantile_disc over no rows.
+        if total == 0:
+            qs.append(None)
+            continue
         target = max(1, math.ceil(q * total))
         qs.append(int(hist.loc[cum >= target, "len"].iloc[0]))
     return pa.table(
@@ -4268,26 +4272,27 @@ def q_corpus_export(sf_dir: str):
             ["md5_hash", "doc_id"]
         )
 
-    dup_tables = [
-        t
-        for t in ray.get(
-            ded.map_batches(dup_keepers, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
     # budget guard (the stale_droplist precedent): the keeper map is
     # proportional to DUPLICATED hashes only, but a duplicate-saturated
-    # corpus could still bust a broadcast — fail loud with the escape
-    # hatch rather than silently ship gigabytes to every worker
-    if sum(t.nbytes for t in dup_tables) > relational.ANTI_FILTER_BUDGET_BYTES:
-        raise RuntimeError(
-            "corpus_export keeper map exceeds the broadcast budget; "
-            "dedup via relational.anti_filter(hashed, losers, 'doc_id') "
-            "with the left_anti join regime instead"
-        )
+    # corpus could still bust a broadcast — refs stream one at a time
+    # and the guard trips BEFORE the driver accumulates past the
+    # budget, failing loud with the escape hatch rather than silently
+    # shipping gigabytes to every worker
     keeper_map = {}
-    for t in dup_tables:
+    total_bytes = 0
+    for ref in (
+        ded.map_batches(dup_keepers, batch_format="pyarrow").to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        total_bytes += t.nbytes
+        if total_bytes > relational.ANTI_FILTER_BUDGET_BYTES:
+            raise RuntimeError(
+                "corpus_export keeper map exceeds the broadcast budget; "
+                "dedup via relational.anti_filter(hashed, losers, "
+                "'doc_id') with the left_anti join regime instead"
+            )
         keeper_map.update(
             zip(t["md5_hash"].to_pylist(), t["doc_id"].to_pylist())
         )

@@ -436,7 +436,7 @@ def anti_filter(
     ds: ray.data.Dataset,
     drop: ray.data.Dataset,
     key: str,
-    byte_budget: int = ANTI_FILTER_BUDGET_BYTES,
+    byte_budget: int | None = None,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Drop every ``ds`` row whose ``key`` appears in ``drop`` (a
@@ -456,6 +456,10 @@ def anti_filter(
 
     from ..functions.broadcast import cached_get
 
+    if byte_budget is None:
+        # resolved at call time so operators can retune the module
+        # constant (the escape hatch corpus_export's guard points at)
+        byte_budget = ANTI_FILTER_BUDGET_BYTES
     drop = drop.materialize()  # reused by whichever regime runs
     tables, total = [], 0
     over_budget = False
@@ -463,7 +467,9 @@ def anti_filter(
         t = ray.get(ref)
         if not t.num_rows:
             continue
-        tables.append(t.select([key]))
+        t = t.select([key])
+        tables.append(t)
+        # budget what would actually broadcast: the key column only
         total += t.nbytes
         if total > byte_budget:
             over_budget = True

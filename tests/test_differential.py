@@ -10,10 +10,15 @@ docs, mixed-case words) and require the same bit-level agreement.
 Agreement here means the engine's tokenization/hashing/aggregation
 semantics match the documented SQL contract, not just one dataset.
 
-Unicode caveat (documented, deliberate): texts stay ASCII because
-Python's ``re`` and DuckDB's RE2 genuinely differ on non-ASCII
-``\\s``/``[a-z]`` classes; the engine's contract is the ASCII corpus
-the north star describes (extraction normalizes upstream).
+Whitespace caveat (documented, deliberate): fuzz whitespace is limited
+to space/tab/newline — the characters where Python and DuckDB-RE2
+``\\s`` agree. Python's ``str.strip``/``re \\s`` additionally treat
+VT (``\\x0b``) and (strip only) ``\\x1c``-``\\x1f`` as whitespace
+while RE2 does not, and the two regex engines also differ on
+non-ASCII whitespace/letter classes. The engine keeps the reference's
+Python semantics; the oracle contract is therefore the corpus the
+north star describes — ASCII text whose whitespace is
+space/tab/newline/CR (extraction normalizes upstream).
 """
 
 import os

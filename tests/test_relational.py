@@ -252,44 +252,16 @@ def test_anti_filter_regimes_agree():
     assert all(i not in {3, 7, 50, 99} for i, _ in bc)
 
 
-def test_fuzzy_dedup_join_regime_matches_broadcast(sf_dir):
-    """q_fuzzy_dedup's anti_filter under a forced join regime equals
-    the broadcast answer (monkeypatched budget)."""
+def test_fuzzy_dedup_join_regime_matches_broadcast(sf_dir, monkeypatch):
+    """q_fuzzy_dedup itself, forced into the left_anti join regime via
+    the module budget constant (resolved at CALL time), returns the
+    identical survivor set as the default broadcast regime."""
     from pdf_to_text_ray.pipelines import queries as Q
 
     base = {r["doc_id"] for r in Q.q_fuzzy_dedup(sf_dir).take_all()}
-    orig = relational.ANTI_FILTER_BUDGET_BYTES
-    relational.ANTI_FILTER_BUDGET_BYTES = 1
-    try:
-        # the default arg captured the old value at def time, so call
-        # with the forced budget explicitly via the query path's
-        # module constant
-        import pyarrow.parquet as _pq
-
-        clusters = Q.q_dup_clusters(sf_dir)
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        def losers(t):
-            return t.filter(
-                pc.not_equal(t["doc_id"], t["cluster_id"])
-            ).select(["doc_id"])
-
-        import ray.data
-
-        docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-        )
-        drop = clusters.map_batches(losers, batch_format="pyarrow")
-        joined = {
-            r["doc_id"]
-            for r in relational.anti_filter(
-                docs, drop, "doc_id", byte_budget=1
-            ).take_all()
-        }
-    finally:
-        relational.ANTI_FILTER_BUDGET_BYTES = orig
-    assert joined == base
+    monkeypatch.setattr(relational, "ANTI_FILTER_BUDGET_BYTES", 1)
+    joined = {r["doc_id"] for r in Q.q_fuzzy_dedup(sf_dir).take_all()}
+    assert joined == base and joined
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])

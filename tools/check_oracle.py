@@ -45,7 +45,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         # pandas nullable extension dtypes (Int64/Float64/boolean, as
         # produced by Arrow columns with nulls) -> plain numpy dtypes
         # so they compare against DuckDB's float64/bool output
-        if dt in ("Int64", "Int32", "Int16", "Float64", "Float32"):
+        if dt in (
+            "Int64", "Int32", "Int16", "Int8",
+            "UInt64", "UInt32", "UInt16", "UInt8",
+            "Float64", "Float32",
+        ):
             df[c] = (
                 df[c].astype("float64")
                 if df[c].isna().any() or dt.startswith("Float")
@@ -53,7 +57,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             )
         elif dt == "boolean":
             df[c] = (
-                df[c].astype(object)
+                # pd.NA would stringify '<NA>' while DuckDB nulls
+                # stringify 'None' — normalize NA -> None first
+                df[c].astype(object).where(df[c].notna(), None)
                 if df[c].isna().any()
                 else df[c].astype("bool")
             )
