@@ -157,3 +157,20 @@ def test_foreign_warc_casing_and_whole_second_dates_parse():
 def test_http_payload_rejects_negative_content_length():
     block = b"HTTP/1.1 200 OK\r\nContent-Length: -5\r\n\r\npayload-bytes"
     assert W._http_payload(block) == b"payload-bytes"
+
+
+def test_read_warc_accepts_dir_and_file_list(sf_dir, tmp_path):
+    import os
+
+    src = synthesize_docs(sf_dir)
+    W.write_warc_shards(src, str(tmp_path))
+    files = sorted(
+        os.path.join(str(tmp_path), f)
+        for f in os.listdir(str(tmp_path))
+        if f.endswith(".warc.gz")
+    )
+    assert len(files) >= 1
+    by_dir = W.read_warc(str(tmp_path)).count()
+    by_list = W.read_warc(files).count()
+    by_one = W.read_warc(files[0]).count()
+    assert by_dir == by_list and by_one >= 1
