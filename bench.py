@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_asof_orders",
+    "events_range_join",
     "funnel_conversion",
     "event_props",
     "route_counts",

@@ -1861,6 +1861,61 @@ ASOF LEFT JOIN orders o
 """
 
 
+def q_events_range_join(sf_dir: str):
+    """Range (interval) join: every event attributed to each SIGNUP
+    event of the same user whose 1-hour post-signup window contains
+    it, aggregated per signup. Broadcast CSR + two searchsorted probes
+    per event (an event can fall in SEVERAL overlapping signup
+    windows — the expansion is vectorized), batch-combined partials,
+    one small groupby. The no-shuffle shape for a large-probe x
+    broadcastable-anchor interval join; at 100 TB the anchor side
+    (one event type) broadcasts once via ``ray.put`` and only
+    anchor-grained partials move — a large x large interval join
+    would time-bucket both sides instead."""
+    anchors = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filters=[("event_type", "=", "signup")],
+    )
+    lookup_ref = ray.put(
+        relational.make_range_lookup(
+            anchors["user_id"].to_numpy(),
+            anchors["ts"].cast(pa.int64()).to_numpy(),
+            anchors["event_id"].to_numpy(),
+        )
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return (
+        events.map_batches(
+            relational.make_range_join_partials(lookup_ref),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .groupby("anchor_id")
+        .aggregate(
+            Sum("n_follow", alias_name="n_follow"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT a.event_id AS anchor_id,
+       CAST(count(*) AS BIGINT) AS n_follow,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events a
+JOIN events e
+  ON e.user_id = a.user_id
+ AND e.ts >= a.ts
+ AND e.ts < a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'signup'
+GROUP BY a.event_id
+"""
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup clusters: verified MinHash pairs -> connected
     components (doc_id, cluster_id) via distributed min-label
@@ -4822,6 +4877,7 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
+    "events_range_join": q_events_range_join,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -4987,6 +5043,7 @@ ORACLE_SQL = {
     "supplier_revenue": SQL_SUPPLIER_REVENUE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "event_props": SQL_EVENT_PROPS,
     "size_class_counts": SQL_SIZE_CLASS_COUNTS,

@@ -273,6 +273,107 @@ def make_asof_join(lookup_ref):
     return asof
 
 
+# -------------------------------------------------------- range join
+
+RANGE_JOIN_WINDOW_US = 3600 * 1_000_000  # 1 hour
+
+
+def make_range_lookup(keys, times, ids):
+    """Broadcastable CSR lookup for an interval join's ANCHOR side:
+    (sorted unique keys, group start offsets, per-key time-sorted flat
+    anchor times, matching anchor ids). Same shape as
+    ``make_asof_lookup`` plus the id payload — four numpy arrays,
+    zero-copy through the object store. The anchor side must be the
+    broadcastable one (e.g. one event type out of many); a
+    large x large interval join needs time-bucketed partitioning
+    instead."""
+    keys = np.asarray(keys, dtype=np.int64)
+    times = np.asarray(times, dtype=np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.lexsort((times, keys))
+    keys, times, ids = keys[order], times[order], ids[order]
+    bounds = np.nonzero(np.diff(keys))[0] + 1
+    starts = np.concatenate(([0], bounds, [len(keys)]))
+    uniq = keys[starts[:-1]]
+    return uniq, starts, times, ids
+
+
+def make_range_join_partials(
+    lookup_ref, window_us: int = RANGE_JOIN_WINDOW_US
+):
+    """probe-events batch -> per-anchor PARTIAL aggregates
+    (anchor_id, n_follow, value_cents) over anchors with
+    anchor_ts <= ts < anchor_ts + window, same user.
+
+    A range join is Ray-Data-expressible as broadcast + vectorized
+    interval probe: the anchor side is a CSR lookup per user, each
+    probe event finds its matching anchor window with two searchsorted
+    calls (anchor times in (ts - window, ts]), and the one-to-MANY
+    expansion (a probe can fall in SEVERAL overlapping anchor
+    windows) is the repeat/arange trick — no per-event Python.
+    Partials are combined per batch so only anchor-grained rows reach
+    the final small groupby; value is summed in integer cents (float
+    sums are accumulation-order-dependent, ints are exact)."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uniq, starts, times, ids = ray.get(lookup_ref)
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        uids = batch["user_id"].to_numpy()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))),
+            pa.int64(),
+        ).to_numpy()
+        n = len(uids)
+        lo = np.zeros(n, dtype=np.int64)
+        hi = np.zeros(n, dtype=np.int64)
+        for uid in np.unique(uids):
+            pos = int(np.searchsorted(uniq, uid))
+            if pos >= len(uniq) or uniq[pos] != uid:
+                continue
+            s, e = int(starts[pos]), int(starts[pos + 1])
+            d = times[s:e]
+            sel = uids == uid
+            lo[sel] = s + np.searchsorted(
+                d, ts[sel] - window_us, side="right"
+            )
+            hi[sel] = s + np.searchsorted(d, ts[sel], side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "anchor_id": pa.array([], pa.int64()),
+                    "n_follow": pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        rep = np.repeat(np.arange(n), counts)
+        cum = np.cumsum(counts) - counts
+        flat = (np.arange(total) - cum[rep]) + lo[rep]
+        t = pa.table(
+            {
+                "anchor_id": pa.array(ids[flat], pa.int64()),
+                "n_follow": pa.array(
+                    np.ones(total, dtype=np.int64), pa.int64()
+                ),
+                "value_cents": pa.array(cents[rep], pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, "anchor_id", use_threads=False).aggregate(
+            [("n_follow", "sum"), ("value_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "anchor_id": g["anchor_id"],
+                "n_follow": g["n_follow_sum"],
+                "value_cents": g["value_cents_sum"],
+            }
+        )
+
+    return partials
+
+
 # ------------------------------------------------- near-dup clustering
 
 def cluster_pairs_distributed(

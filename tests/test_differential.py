@@ -286,6 +286,7 @@ EVENT_QUERIES = [
     "events_hourly",
     "events_sliding",
     "events_sessionize",
+    "events_range_join",
     "funnel_conversion",
     "event_props",
 ]

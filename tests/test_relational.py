@@ -127,6 +127,49 @@ def test_asof_join_edges():
     assert out[3]["last_order_date"] is None
 
 
+def test_range_join_partials_match_bruteforce():
+    """Vectorized interval-probe partials == per-pair python brute
+    force: window edges ([anchor, anchor+W) half-open), overlapping
+    windows of one user, unknown users, and integer-cents sums."""
+    import random
+
+    rng = random.Random(7)
+    w_us = relational.RANGE_JOIN_WINDOW_US
+    a_users = [rng.randint(1, 5) for _ in range(12)]
+    a_ts = [rng.randint(0, 4 * w_us) for _ in range(12)]
+    a_ids = list(range(100, 112))
+    lookup_ref = ray.put(
+        relational.make_range_lookup(a_users, a_ts, a_ids)
+    )
+    n = 60
+    uids = [rng.randint(1, 6) for _ in range(n)]  # 6 = unknown user
+    ts = [rng.randint(-w_us, 5 * w_us) for _ in range(n)]
+    vals = [round(rng.uniform(0, 50), 2) for _ in range(n)]
+    batch = pa.table(
+        {
+            "user_id": pa.array(uids, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = (
+        relational.make_range_join_partials(lookup_ref)(batch)
+        .to_pandas()
+        .set_index("anchor_id")
+        .sort_index()
+    )
+    exp: dict[int, list[int]] = {}
+    for au, at, aid in zip(a_users, a_ts, a_ids):
+        for u, t, v in zip(uids, ts, vals):
+            if u == au and at <= t < at + w_us:
+                c, s = exp.setdefault(aid, [0, 0])
+                exp[aid] = [c + 1, s + int(round(v * 100))]
+    assert sorted(got.index) == sorted(exp)
+    for aid, (c, s) in exp.items():
+        assert got.loc[aid, "n_follow"] == c
+        assert got.loc[aid, "value_cents"] == s
+
+
 def test_cluster_pairs_transitive():
     clusters = relational.cluster_pairs([(5, 9), (9, 2), (11, 12)])
     assert clusters[5] == clusters[9] == clusters[2] == 2
