@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "longest_doc_per_lang",
     "fingerprint",
+    "hll_distinct",
     "ann_cosine_topk",
     "lsh_topk",
     "ivf_topk",

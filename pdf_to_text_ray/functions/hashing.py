@@ -190,24 +190,28 @@ class MinHasher:
         ]
 
 
+def token_hashes64(toks: list[str]) -> np.ndarray:
+    """uint64 hash per token: base-1000003 polynomial mod 2^64 of the
+    token's codepoints, extracted for ALL tokens from one prefix-hash
+    pass, then murmur3 fmix64-finalized. The raw polynomial lacks
+    avalanche (tokens differing only in the last char get close hash
+    values); the finalizer restores uniform bit quality, which SimHash
+    bit voting and HyperLogLog trailing-zero ranks both require. SQL
+    oracles reproduce the identical polynomial + mix per token."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    c, starts, ends = _token_stream(toks)
+    pt, pw = _prefix_hash(c, _B64, _B64_INV, np.uint64)
+    return _fmix64((pt[ends] - pt[starts]) * pw[ends - 1])
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens. Token hashes are base-1000003
-    polynomial hashes mod 2^64 of each token's codepoints, extracted
-    for all tokens from one prefix-hash pass (duplicate tokens keep
-    their frequency weight, as SimHash requires). The SQL oracle
-    computes the identical polynomial per token string."""
+    """64-bit SimHash over word tokens (duplicate tokens keep their
+    frequency weight, as SimHash requires)."""
     toks = _RE_TOKEN.findall(text.lower())
     if not toks:
         return 0
-    c, starts, ends = _token_stream(toks)
-    pt, pw = _prefix_hash(c, _B64, _B64_INV, np.uint64)
-    h = (pt[ends] - pt[starts]) * pw[ends - 1]  # [n_tokens] uint64
-    # murmur3 fmix64 finalizer: the raw polynomial lacks avalanche
-    # (tokens differing only in the last char get close hash values,
-    # correlating SimHash bits and inflating false near-dup pairs);
-    # after mixing, bit quality matches the md5-derived hashes it
-    # replaced. The SQL oracle applies the identical mix.
-    h = _fmix64(h)
+    h = token_hashes64(toks)  # [n_tokens] uint64
     shifts = np.arange(64, dtype=np.uint64)
     bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
     v = (2 * bits.astype(np.int64) - 1).sum(axis=0)

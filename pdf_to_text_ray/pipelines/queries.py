@@ -867,6 +867,156 @@ def q_fingerprint(sf_dir: str):
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS md5_hash FROM documents"
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-vocabulary estimate per source, plus the
+    exact hash-distinct count as its accuracy twin.
+
+    Sketch pass: per-batch register partials (<= sources x 256 rows
+    per batch, whatever the batch size) -> one TINY
+    groupby(source, reg).max merge — the mergeable-sketch shape whose
+    shuffle is O(sources x 256), not O(vocabulary). The exact twin
+    dedupes (source, token-hash) pairs — the O(vocabulary) shuffle the
+    sketch exists to avoid, kept here as the visible accuracy
+    baseline. Final estimates are computed driver-side from the merged
+    registers (sources x 256 rows — small by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    regs = (
+        docs.map_batches(
+            textstats.make_hll_partials(), batch_format="pyarrow"
+        )
+        .groupby(["source", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        from ..functions.hashing import token_hashes64
+
+        tok = _re.compile(r"\w+")  # same tokenizer as the sketch pass
+        per_source: dict[str, set] = {}
+        for s, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            per_source.setdefault(s, set()).update(
+                tok.findall(text.lower())
+            )
+        srcs, hs = [], []
+        for s, words in per_source.items():
+            h = token_hashes64(list(words))
+            srcs.extend([s] * len(h))
+            hs.extend(int(x) for x in np.asarray(h, dtype=np.uint64))
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "h": pa.array(hs, pa.uint64()),
+            }
+        )
+
+    uniq = (
+        docs.map_batches(hash_pairs, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: t.select(["source"]), batch_format="pyarrow"
+        )
+        .groupby("source")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+
+    ests = []
+    for source, grp in regs.groupby("source"):
+        m = np.zeros(textstats.HLL_REGISTERS, np.int64)
+        m[grp["reg"].to_numpy()] = grp["rho"].to_numpy()
+        ests.append(
+            {
+                "source": source,
+                "hll_estimate": round(textstats.hll_estimate(m), 3),
+            }
+        )
+    out = uniq.merge(pd.DataFrame(ests), on="source", how="inner")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
+# token hash = the simhash polynomial + fmix64 chain (see
+# SQL_SIMHASH_NEAR_DUPS) over each DISTINCT (source, word); register =
+# h % 256, rank = 1 + trailing zeros of h // 256 via exact integer
+# bit_count; the denominator sum is carried as the exact integer
+# sum(2^(57 - rho)) in HUGEINT so no float accumulation order exists.
+SQL_HLL_DISTINCT = r"""
+WITH words AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS w
+  FROM documents
+), h0t AS (
+  SELECT source,
+    CAST(list_reduce(
+      list_transform(range(1, length(w) + 1),
+                     i -> CAST(unicode(substr(w, i, 1)) AS HUGEINT)),
+      (acc, cp) -> (acc * 1000003 + cp) % 18446744073709551616)
+      AS UBIGINT) AS h0
+  FROM words
+), f1 AS (
+  SELECT source, xor(h0, h0 >> CAST(33 AS UBIGINT)) AS h1 FROM h0t
+), f2 AS (
+  SELECT source, CAST((
+      ((CAST(h1 >> CAST(32 AS UBIGINT) AS HUGEINT) * 18397679294719823053)
+        % 4294967296) * 4294967296
+      + CAST(h1 & CAST(4294967295 AS UBIGINT) AS HUGEINT) * 18397679294719823053
+    ) % 18446744073709551616 AS UBIGINT) AS h2 FROM f1
+), f3 AS (
+  SELECT source, xor(h2, h2 >> CAST(33 AS UBIGINT)) AS h3 FROM f2
+), f4 AS (
+  SELECT source, CAST((
+      ((CAST(h3 >> CAST(32 AS UBIGINT) AS HUGEINT) * 14181476777654086739)
+        % 4294967296) * 4294967296
+      + CAST(h3 & CAST(4294967295 AS UBIGINT) AS HUGEINT) * 14181476777654086739
+    ) % 18446744073709551616 AS UBIGINT) AS h4 FROM f3
+), hx AS (
+  SELECT source, xor(h4, h4 >> CAST(33 AS UBIGINT)) AS h FROM f4
+), hs AS (
+  SELECT DISTINCT source, h FROM hx
+), regs AS (
+  SELECT source, CAST(h % 256 AS BIGINT) AS reg,
+    max(CASE WHEN h // 256 = CAST(0 AS UBIGINT) THEN 57
+        ELSE 1 + CAST(bit_count(
+               (CAST(h // 256 AS BIGINT) & -CAST(h // 256 AS BIGINT)) - 1
+             ) AS BIGINT) END) AS rho
+  FROM hs GROUP BY source, h % 256
+), denom AS (
+  SELECT s.source,
+    sum(CAST(CAST(1 AS BIGINT) << (57 - COALESCE(r.rho, 0)) AS HUGEINT))
+      AS den,
+    sum(CASE WHEN r.rho IS NULL THEN 1 ELSE 0 END) AS zeros
+  FROM (SELECT DISTINCT source FROM hs) s
+  CROSS JOIN generate_series(0, 255) g(reg)
+  LEFT JOIN regs r ON r.source = s.source AND r.reg = g.reg
+  GROUP BY s.source
+), est AS (
+  SELECT source, zeros,
+    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0
+      / CAST(den AS DOUBLE) AS e_raw
+  FROM denom
+), counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+  FROM hs GROUP BY source
+)
+SELECT c.source, c.n_distinct,
+  round(CASE WHEN e.zeros > 0 AND e.e_raw <= 640.0
+        THEN 256.0 * ln(256.0 / e.zeros) ELSE e.e_raw END, 3)
+    AS hll_estimate
+FROM counts c JOIN est e USING (source)
+"""
+
+
 # ---------------------------------------------------------- similarity
 
 def _query_vectors(sf_dir: str, n: int = 5) -> dict:
@@ -4878,6 +5028,7 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
     "events_range_join": q_events_range_join,
+    "hll_distinct": q_hll_distinct,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5044,6 +5195,7 @@ ORACLE_SQL = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "event_props": SQL_EVENT_PROPS,
     "size_class_counts": SQL_SIZE_CLASS_COUNTS,

@@ -632,3 +632,99 @@ def make_bigram_scorer(model_ref):
         )
 
     return score
+
+
+# ---------------------------------------------------------- HyperLogLog
+
+# 256 registers (p = 8): register = h % 256, rank source = h >> 8
+# (56 bits). Rank rho = 1 + trailing zeros of those bits (57 when they
+# are all zero) — trailing instead of the textbook leading zeros, which
+# is an equivalent uniform-bit geometric under the fmix64-finalized
+# hash and is EXACTLY reproducible in SQL via bit_count((v & -v) - 1),
+# with no float log anywhere near the rank.
+HLL_REGISTERS = 256
+HLL_MAX_RHO = 57
+# alpha_m * m^2 * 2^57: the numerator of the raw estimate over the
+# integer-scaled denominator sum(2^(57 - rho_j)) — kept as an exact
+# dyadic product so engine and SQL compute bit-identical doubles.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_REGISTERS)
+_HLL_NUM = _HLL_ALPHA * 65536.0 * float(1 << HLL_MAX_RHO)
+
+
+def hll_rho(v):
+    """rho per element of uint64 array v (the non-register hash bits):
+    1 + trailing zeros, HLL_MAX_RHO when v == 0. The lowest set bit is
+    isolated with v & -v; its exponent is read EXACTLY via frexp
+    (powers of two are exact in float64; frexp(2^k) = (0.5, k+1), so
+    the exponent IS 1 + trailing zeros — no correctly-rounded-log
+    assumption)."""
+    import numpy as np
+
+    lowest = v & (~v + np.uint64(1))
+    _, exp = np.frexp(lowest.astype(np.float64))
+    rho = exp.astype(np.int64)
+    rho[v == np.uint64(0)] = HLL_MAX_RHO
+    return rho
+
+
+def make_hll_partials():
+    """documents batch -> per-(source, register) PARTIAL max-rho rows.
+    Registers max-merge per batch first, so at most
+    sources x 256 rows leave each batch regardless of batch size —
+    the mergeable-sketch shape: the global merge is a tiny
+    groupby(source, reg).max, never a vocabulary shuffle."""
+    import numpy as np
+
+    from ..functions.hashing import token_hashes64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        per_source: dict[str, set] = {}
+        for s, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            per_source.setdefault(s, set()).update(
+                t for t in re.findall(r"\w+", text.lower())
+            )
+        out_s: list[str] = []
+        out_r: list[int] = []
+        out_rho: list[int] = []
+        for s, words in per_source.items():
+            h = token_hashes64(list(words))
+            if not len(h):
+                continue
+            reg = (h % np.uint64(HLL_REGISTERS)).astype(np.int64)
+            rho = hll_rho(h >> np.uint64(8))
+            m = np.zeros(HLL_REGISTERS, np.int64)
+            np.maximum.at(m, reg, rho)
+            nz = np.nonzero(m)[0]
+            out_s.extend([s] * len(nz))
+            out_r.extend(int(i) for i in nz)
+            out_rho.extend(int(x) for x in m[nz])
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "reg": pa.array(out_r, pa.int64()),
+                "rho": pa.array(out_rho, pa.int64()),
+            }
+        )
+
+    return partials
+
+
+def hll_estimate(rhos) -> float:
+    """Final estimate from a source's 256 max-rho values (0 = empty
+    register): raw = alpha*m^2 / sum(2^-rho) with the sum carried as
+    the EXACT integer sum(2^(57-rho)) — float summation order can
+    round differently across engines, exact integers can't — and the
+    standard small-range linear-counting correction below 2.5m."""
+    import math
+
+    den = 0
+    zeros = 0
+    for r in rhos:
+        den += 1 << (HLL_MAX_RHO - int(r))
+        zeros += 1 if r == 0 else 0
+    e_raw = _HLL_NUM / float(den)
+    if zeros > 0 and e_raw <= 2.5 * HLL_REGISTERS:
+        return HLL_REGISTERS * math.log(HLL_REGISTERS / zeros)
+    return e_raw

@@ -112,6 +112,7 @@ DIFFERENTIAL_QUERIES = [
     "pii_redact",
     "topic_classify",
     "fingerprint",
+    "hll_distinct",
     "minhash_near_dups",
     "simhash_near_dups",
     "dup_clusters",
