@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "longest_doc_per_lang",
     "fingerprint",
     "hll_distinct",
+    "bm25_topk",
     "ann_cosine_topk",
     "lsh_topk",
     "ivf_topk",

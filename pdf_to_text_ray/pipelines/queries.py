@@ -1017,6 +1017,165 @@ FROM counts c JOIN est e USING (source)
 """
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 (k1=1.5, b=0.75) document ranking for a corpus-derived
+    query: the 8 highest-df words (ties lexicographic).
+
+    Phase 1 computes global df / N / avgdl in ONE tokenize pass with
+    map-side combiners (corpus totals ride along as \\x00-prefixed
+    marker rows — \\x00 can never be a \\w+ token) and one
+    vocabulary-sized groupby, materialized once because both the
+    marker probe and the term ranking consume it. Phase 2 broadcasts
+    the 8-term query (closure constants — bytes, not a shuffle) and
+    scores map-side, keeping a per-batch top-k so the final sort
+    exchanges only ~k rows per block. Docs are ranked on the 6-dp
+    ROUNDED score with doc_id tie-break, so cross-engine last-ulp
+    drift cannot flip the cut."""
+    import math
+    import re as _re
+
+    from collections import Counter
+
+    docs = _read_documents(sf_dir)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tok = _re.compile(r"\w+")
+        c: Counter = Counter()
+        n_docs, sum_dl = 0, 0
+        for text in t["text"].to_pylist():
+            ws = tok.findall(text.lower())
+            n_docs += 1
+            sum_dl += len(ws)
+            c.update(set(ws))
+        c["\x00docs"] = n_docs
+        c["\x00dl"] = sum_dl
+        return pa.table(
+            {
+                "w": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    markers = {
+        r["w"]: r["df"]
+        for r in grouped.map_batches(
+            lambda t: t.filter(pc.starts_with(t["w"], "\x00")),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    n_corpus = int(markers.get("\x00docs", 0))
+    if n_corpus == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array([], "int64"),
+                "score": pd.array([], "float64"),
+            }
+        )
+    avgdl = float(markers["\x00dl"]) / n_corpus
+    qterms = (
+        grouped.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.starts_with(t["w"], "\x00"))
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["df", "w"], descending=[True, False])
+        .limit(8)
+        .take_all()
+    )
+    idf = {
+        r["w"]: math.log(
+            1.0 + (n_corpus - r["df"] + 0.5) / (r["df"] + 0.5)
+        )
+        for r in qterms
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        tok = _re.compile(r"\w+")
+        ids, scores = [], []
+        for did, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            ws = tok.findall(text.lower())
+            dl = len(ws)
+            c = Counter(w for w in ws if w in idf)
+            if not c:
+                continue
+            s = 0.0
+            for w in sorted(c):
+                tf = c[w]
+                s += (
+                    idf[w]
+                    * (tf * 2.5)
+                    / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+                )
+            ids.append(did)
+            scores.append(round(s, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        order = t.sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        )
+        return order.slice(0, 20)
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\w+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w
+), qterms AS (
+  SELECT w, df FROM df ORDER BY df DESC, w ASC LIMIT 8
+), tf AS (
+  SELECT t.doc_id, t.w, count(*) AS tf
+  FROM toks t JOIN qterms q ON q.w = t.w
+  GROUP BY t.doc_id, t.w
+), scored AS (
+  SELECT tf.doc_id,
+    sum(
+      ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+      * (tf.tf * 2.5)
+      / (tf.tf + 1.5 * (0.25 + 0.75 * d.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n)))
+    ) AS score
+  FROM tf
+  JOIN qterms q ON q.w = tf.w
+  JOIN dl d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------- similarity
 
 def _query_vectors(sf_dir: str, n: int = 5) -> dict:
@@ -5029,6 +5188,7 @@ QUERIES = {
     # --- round-3 additions first (driver-gate checked prefix) ---
     "events_range_join": q_events_range_join,
     "hll_distinct": q_hll_distinct,
+    "bm25_topk": q_bm25_topk,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5196,6 +5356,7 @@ ORACLE_SQL = {
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "bm25_topk": SQL_BM25_TOPK,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "event_props": SQL_EVENT_PROPS,
     "size_class_counts": SQL_SIZE_CLASS_COUNTS,

@@ -113,6 +113,7 @@ DIFFERENTIAL_QUERIES = [
     "topic_classify",
     "fingerprint",
     "hll_distinct",
+    "bm25_topk",
     "minhash_near_dups",
     "simhash_near_dups",
     "dup_clusters",
