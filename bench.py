@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "embedding_near_dups",
     "embedding_near_dups_lsh",
+    "kmeans_clusters",
     "events_hourly",
     "events_sliding",
     "events_sessionize",

@@ -1176,6 +1176,91 @@ ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means (k=8, 3 Lloyd's iterations) over the
+    embeddings table -> (vec_id, cluster, dist). Each iteration is one
+    streaming pass: broadcast centroids, exact-integer argmin
+    map-side, per-batch (cluster, dim) partial sums, tiny groupby
+    merge — the driver only ever sees k x (d+1) reduced rows. The
+    integer-quantization contract (stages/clustering.py) makes the
+    serial SQL unroll bit-identical."""
+    from ..stages import clustering
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return clustering.kmeans(ds)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's in DuckDB: assignment = row_number over exact
+    integer distances (ties -> smallest cluster), update =
+    round-half-away-from-zero via positive-operand // (DuckDB //
+    truncates, Python // floors; they agree only on non-negatives),
+    empty clusters keep the previous centroid via COALESCE."""
+    parts = [
+        r"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(floor(CAST(e AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT """
+        + str(k)
+        + "))"
+    ]
+    it_tpl = """, d{t} AS (
+  SELECT q.vec_id, q.qv, c.cluster,
+    list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist
+  FROM q CROSS JOIN cent{p} c
+), asg{t} AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT vec_id, qv, cluster,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{t}) WHERE rn = 1
+), ex{t} AS (
+  SELECT cluster, unnest(qv) AS v,
+         unnest(range(1, len(qv) + 1)) AS dim
+  FROM asg{t}
+), sums{t} AS (
+  SELECT cluster, dim, CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex{t} GROUP BY cluster, dim
+), cent{t} AS (
+  SELECT p.cluster, COALESCE(u.cv, p.cv) AS cv
+  FROM cent{p} p LEFT JOIN (
+    SELECT cluster,
+      list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+           ELSE -((2 * (-s) + n) // (2 * n)) END ORDER BY dim) AS cv
+    FROM sums{t} GROUP BY cluster) u ON u.cluster = p.cluster
+)"""
+    for t in range(1, iters + 1):
+        parts.append(it_tpl.format(t=t, p=t - 1))
+    parts.append(
+        """, dfin AS (
+  SELECT q.vec_id, c.cluster,
+    list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist
+  FROM q CROSS JOIN cent"""
+        + str(iters)
+        + """ c
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(dist AS BIGINT) AS dist
+FROM (SELECT vec_id, cluster, dist,
+        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+          AS rn
+      FROM dfin) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_sql()
+
+
 # ---------------------------------------------------------- similarity
 
 def _query_vectors(sf_dir: str, n: int = 5) -> dict:
@@ -5189,6 +5274,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "hll_distinct": q_hll_distinct,
     "bm25_topk": q_bm25_topk,
+    "kmeans_clusters": q_kmeans_clusters,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5357,6 +5443,7 @@ ORACLE_SQL = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "event_props": SQL_EVENT_PROPS,
     "size_class_counts": SQL_SIZE_CLASS_COUNTS,

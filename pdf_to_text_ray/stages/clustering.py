@@ -1,0 +1,187 @@
+"""Distributed k-means over the embeddings table (Lloyd's algorithm).
+
+The iterative-ML shape on Ray Data: each iteration is ONE streaming
+pass — broadcast the k x d centroid matrix via ``ray.put``, assign
+map-side (vectorized argmin over exact integer distances), pre-reduce
+per-cluster/per-dim sums INSIDE each batch, and merge with a tiny
+``groupby(cluster, dim).sum`` whose size is k x (d+1) rows regardless
+of corpus size. The driver only ever touches that reduced table; the
+dataset itself streams every pass and is never materialized.
+
+Determinism contract (what makes the SQL oracle exact): coordinates
+are quantized once to integers with q = floor(x * 1024.0 + 0.5)
+(double math, no round-half-mode ambiguity), distances are exact
+integer squared-L2, argmin ties break to the smallest cluster id, and
+centroid updates use integer round-half-AWAY-FROM-ZERO of s/n,
+computed as sign(s) * ((2*|s| + n) // (2*n)) so only positive-operand
+integer division appears (Python // floors, DuckDB // truncates —
+they agree only on non-negative operands). No float ever crosses an
+accumulation whose order a parallel engine could permute, so the
+distributed result is bit-identical to serial SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+KMEANS_SCALE = 1024.0
+KMEANS_K = 8
+KMEANS_ITERS = 3
+_COUNT_DIM = -1  # marker row carrying the cluster's member count
+
+
+def quantize_batch(batch: pa.Table) -> np.ndarray:
+    """[n, d] int64 quantized coordinates: floor(x * 1024.0 + 0.5) in
+    float64 — the SQL twin is floor(CAST(e AS DOUBLE) * 1024.0 + 0.5)."""
+    flat = batch["embedding"].combine_chunks()
+    arrs = flat.flatten().to_numpy(zero_copy_only=False)
+    n = len(batch)
+    d = len(arrs) // n if n else 0
+    x = arrs.astype(np.float64).reshape(n, d)
+    return np.floor(x * KMEANS_SCALE + 0.5).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_k sum_d (q - c)^2 — exact int64; np.argmin returns the
+    FIRST minimum, i.e. ties break to the smallest cluster id, matching
+    the oracle's ORDER BY dist, cluster."""
+    # ||q - c||^2 = q.q - 2 q.c + c.c ; q.q is constant per row, so
+    # argmin needs only the cross and centroid terms — exact int64
+    # matmul keeps batch x k x d memory at batch x k.
+    cross = q @ cents.T  # [n, k] int64, exact
+    cnorm = (cents * cents).sum(axis=1)  # [k]
+    return np.argmin(cnorm[None, :] - 2 * cross, axis=1)
+
+
+def make_kmeans_partials(cents_ref):
+    """embeddings batch -> per-(cluster, dim) partial coordinate sums
+    plus one (cluster, dim=-1) member-count marker row per cluster —
+    at most k x (d+1) rows per batch, whatever the batch size."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        k, d = cents.shape
+        q = quantize_batch(batch)
+        if not len(q):
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        asg = _assign(q, cents)
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, asg, q)
+        cnt = np.bincount(asg, minlength=k).astype(np.int64)
+        live = np.nonzero(cnt)[0]
+        cl = np.repeat(live, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), len(live))
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.concatenate([cl, live]), pa.int64()
+                ),
+                "dim": pa.array(
+                    np.concatenate(
+                        [dim, np.full(len(live), _COUNT_DIM, np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "s": pa.array(
+                    np.concatenate([sums[live].ravel(), cnt[live]]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return partials
+
+
+def make_kmeans_assign(cents_ref):
+    """Final labelling pass -> (vec_id, cluster, dist) with the exact
+    integer squared distance."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        q = quantize_batch(batch)
+        if not len(q):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        asg = _assign(q, cents)
+        diff = q - cents[asg]
+        dist = (diff * diff).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(asg.astype(np.int64), pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return assign
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> ray.data.Dataset:
+    """Lloyd's k-means; init = the k smallest vec_ids' vectors
+    (k = min(k, corpus size)). Returns the final assignment Dataset
+    (vec_id, cluster, dist). Empty clusters keep their previous
+    centroid, exactly as the SQL oracle's COALESCE does."""
+    init_rows = ds.sort("vec_id").limit(k).take_all()
+    if not init_rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        )
+    init = pa.table(
+        {
+            "embedding": pa.array(
+                [r["embedding"] for r in init_rows],
+                pa.list_(pa.float32()),
+            )
+        }
+    )
+    cents = quantize_batch(init)
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+        merged = (
+            ds.map_batches(
+                make_kmeans_partials(cents_ref), batch_format="pyarrow"
+            )
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()  # k x (d+1) rows — small by construction
+        )
+        new = cents.copy()
+        cnt = {
+            int(r.cluster): int(r.s)
+            for r in merged[merged["dim"] == _COUNT_DIM].itertuples()
+        }
+        for r in merged[merged["dim"] != _COUNT_DIM].itertuples():
+            c, dim, s = int(r.cluster), int(r.dim), int(r.s)
+            n = cnt[c]
+            half = (2 * abs(s) + n) // (2 * n)
+            new[c, dim] = half if s >= 0 else -half
+        cents = new
+    return ds.map_batches(
+        make_kmeans_assign(ray.put(cents)), batch_format="pyarrow"
+    )

@@ -300,6 +300,7 @@ EMBEDDING_QUERIES = [
     "lsh_topk",
     "ann_cosine_topk",
     "ivf_topk",
+    "kmeans_clusters",
 ]
 
 
