@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_orders",
     "events_range_join",
+    "events_running_total",
     "funnel_conversion",
     "event_props",
     "route_counts",

@@ -2255,6 +2255,26 @@ ASOF LEFT JOIN orders o
 """
 
 
+def q_events_running_total(sf_dir: str):
+    """Window function: per-event cumulative spend per user
+    (SUM OVER (PARTITION BY user ORDER BY ts, event_id)) — bounded
+    user-hash partitions, one vectorized cumsum per partition."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return relational.running_total(events)
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS BIGINT) AS running_cents
+FROM events
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join: every event attributed to each SIGNUP
     event of the same user whose 1-hour post-signup window contains
@@ -5275,6 +5295,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "bm25_topk": q_bm25_topk,
     "kmeans_clusters": q_kmeans_clusters,
+    "events_running_total": q_events_running_total,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5441,6 +5462,7 @@ ORACLE_SQL = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

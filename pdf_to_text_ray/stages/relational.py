@@ -208,6 +208,53 @@ def _funnel_partition(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _running_total_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-partition of users -> per-event cumulative value sum
+    (the SQL window SUM() OVER (PARTITION BY user ORDER BY ts,
+    event_id)), fully vectorized: one sort, one cumsum, user-boundary
+    rebase off the run starts. Values are summed in integer cents —
+    a float running sum would drift with accumulation order."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy()
+    cents = (
+        np.round(df["value"].to_numpy() * 100.0).astype("int64")
+    )
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.array([], "int64"),
+                "user_id": pd.array([], "int64"),
+                "running_cents": pd.array([], "int64"),
+            }
+        )
+    csum = np.cumsum(cents)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new_user)
+    base = (csum[starts] - cents[starts])[np.cumsum(new_user) - 1]
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": uid,
+            "running_cents": csum - base,
+        }
+    )
+
+
+def running_total(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user cumulative value window — users hashed into
+    NUM_EVENT_PARTITIONS bounded partitions, the window computed
+    vectorized within each (the distributed window-function shape:
+    partition by the window key, never one pandas frame per user)."""
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_running_total_partition, batch_format="pandas")
+    )
+
+
 def funnel_conversion(events: ray.data.Dataset) -> ray.data.Dataset:
     """Signup -> purchase funnel per user. Callers should pre-filter
     event_type map-side; this hashes users into bounded partitions and

@@ -289,6 +289,7 @@ EVENT_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_range_join",
+    "events_running_total",
     "funnel_conversion",
     "event_props",
 ]
