@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "parts_no_early_shipment",
     "supplier_revenue",
+    "pagerank",
     "extraction_metrics",
     "dedup_exact",
     "line_dedup",

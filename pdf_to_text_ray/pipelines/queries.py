@@ -2255,6 +2255,95 @@ ASOF LEFT JOIN orders o
 """
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank (3 integer-exact iterations) over the symmetric
+    customer–supplier co-occurrence graph (an edge wherever a customer
+    order contains a supplier's lineitem; node ids parity-encoded
+    2*cust / 2*supp+1). Edge build: broadcast the orders orderkey ->
+    custkey lookup, probe lineitem map-side (no shuffle join), dedup
+    edges with one multi-key groupby; then the streaming-edges /
+    broadcast-nodes iteration of relational.pagerank."""
+    import numpy as np
+
+    orders_tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    okeys = orders_tbl["o_orderkey"].to_numpy()
+    order = np.argsort(okeys)
+    lookup_ref = ray.put(
+        (okeys[order], orders_tbl["o_custkey"].to_numpy()[order])
+    )
+
+    def edge_pairs(batch: pa.Table) -> pa.Table:
+        okeys_s, custs = ray.get(lookup_ref)
+        lk = batch["l_orderkey"].to_numpy()
+        sk = batch["l_suppkey"].to_numpy()
+        cust = custs[np.searchsorted(okeys_s, lk)]
+        a = 2 * cust
+        b = 2 * sk + 1
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        t = pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+        # per-batch distinct (combiner) before the global edge dedup
+        return t.group_by(["src", "dst"], use_threads=False).aggregate([])
+
+    edges = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey"],
+        )
+        .map_batches(edge_pairs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+        )
+    )
+    return relational.pagerank(edges)
+
+
+SQL_PAGERANK = """
+WITH eds AS (
+  SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT src, dst FROM eds UNION SELECT dst, src FROM eds
+), deg AS (
+  SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, 1000000 AS rank, outdeg FROM deg
+), f1 AS (
+  SELECT e.dst AS node, sum(r.rank // r.outdeg) AS inflow
+  FROM edges e JOIN r0 r ON r.node = e.src GROUP BY e.dst
+), r1 AS (
+  SELECT d.node, 150000 + (85 * COALESCE(f.inflow, 0)) // 100 AS rank,
+         d.outdeg
+  FROM deg d LEFT JOIN f1 f ON f.node = d.node
+), f2 AS (
+  SELECT e.dst AS node, sum(r.rank // r.outdeg) AS inflow
+  FROM edges e JOIN r1 r ON r.node = e.src GROUP BY e.dst
+), r2 AS (
+  SELECT d.node, 150000 + (85 * COALESCE(f.inflow, 0)) // 100 AS rank,
+         d.outdeg
+  FROM deg d LEFT JOIN f2 f ON f.node = d.node
+), f3 AS (
+  SELECT e.dst AS node, sum(r.rank // r.outdeg) AS inflow
+  FROM edges e JOIN r2 r ON r.node = e.src GROUP BY e.dst
+), r3 AS (
+  SELECT d.node, 150000 + (85 * COALESCE(f.inflow, 0)) // 100 AS rank,
+         d.outdeg
+  FROM deg d LEFT JOIN f3 f ON f.node = d.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+FROM r3
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Window function: per-event cumulative spend per user
     (SUM OVER (PARTITION BY user ORDER BY ts, event_id)) — bounded
@@ -5296,6 +5385,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "kmeans_clusters": q_kmeans_clusters,
     "events_running_total": q_events_running_total,
+    "pagerank": q_pagerank,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5463,6 +5553,7 @@ ORACLE_SQL = {
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
+    "pagerank": SQL_PAGERANK,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

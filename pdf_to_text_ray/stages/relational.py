@@ -421,6 +421,84 @@ def make_range_join_partials(
     return partials
 
 
+# ----------------------------------------------------------- pagerank
+
+PAGERANK_SCALE = 1_000_000
+PAGERANK_ITERS = 3
+
+
+def pagerank(edges: ray.data.Dataset, iters: int = PAGERANK_ITERS):
+    """Integer PageRank over a symmetric edge Dataset (src, dst):
+    rank' = (15*SCALE)//100 + (85 * sum(rank[src] // outdeg[src])) // 100.
+
+    Every operation is positive-operand integer arithmetic, so the
+    result is bit-identical across any execution order (and to the
+    unrolled SQL oracle) — no float damping factor to drift.
+
+    Distribution shape: the EDGE set streams; the NODE table (node,
+    outdeg, rank) is the reduced side, broadcast per iteration via
+    ``ray.put`` as sorted numpy arrays and joined map-side by
+    searchsorted — the same broadcastable-dimension regime as the
+    as-of/range lookups. Per-batch partial sums mean each iteration
+    shuffles at most nodes-sized partials. For node tables beyond
+    broadcast budget, swap the lookup for a hash-partitioned
+    ``Dataset.join`` per iteration — same semantics, all-to-all cost.
+
+    Returns (node, rank) as a small driver-side Arrow table (nodes =
+    the reduced result, the thing PageRank exists to produce).
+    """
+    edges = edges.materialize()  # consumed once per iteration + degree
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="outdeg"))
+        .to_pandas()
+        .sort_values("src")
+    )
+    nodes = deg["src"].to_numpy().astype(np.int64)
+    outdeg = deg["outdeg"].to_numpy().astype(np.int64)
+    rank = np.full(len(nodes), PAGERANK_SCALE, dtype=np.int64)
+    base = (15 * PAGERANK_SCALE) // 100
+
+    for _ in range(iters):
+        state_ref = ray.put((nodes, rank // outdeg))
+
+        def flow(batch: pa.Table) -> pa.Table:
+            nds, contrib = ray.get(state_ref)
+            src = batch["src"].to_numpy()
+            dst = batch["dst"].to_numpy()
+            pos = np.searchsorted(nds, src)
+            t = pa.table(
+                {
+                    "dst": pa.array(dst, pa.int64()),
+                    "inflow": pa.array(contrib[pos], pa.int64()),
+                }
+            )
+            g = pa.TableGroupBy(t, "dst", use_threads=False).aggregate(
+                [("inflow", "sum")]
+            )
+            return pa.table(
+                {"dst": g["dst"], "inflow": g["inflow_sum"]}
+            )
+
+        inflow_df = (
+            edges.map_batches(flow, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("inflow", alias_name="inflow"))
+            .to_pandas()
+        )
+        inflow = np.zeros(len(nodes), dtype=np.int64)
+        pos = np.searchsorted(nodes, inflow_df["dst"].to_numpy())
+        inflow[pos] = inflow_df["inflow"].to_numpy()
+        rank = base + (85 * inflow) // 100
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------- near-dup clustering
 
 def cluster_pairs_distributed(

@@ -530,6 +530,7 @@ RELATIONAL_QUERIES = [
     "pricing_summary",
     "parts_no_early_shipment",
     "supplier_revenue",
+    "pagerank",
 ]
 
 
