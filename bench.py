@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "longest_doc_per_lang",
     "fingerprint",
     "hll_distinct",
+    "domain_quality_gate",
     "bm25_topk",
     "ann_cosine_topk",
     "lsh_topk",

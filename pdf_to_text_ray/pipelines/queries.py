@@ -1017,6 +1017,115 @@ FROM counts c JOIN est e USING (source)
 """
 
 
+def q_domain_quality_gate(sf_dir: str):
+    """Per-domain ADAPTIVE quality filter (the CCNet-style per-bucket
+    quantile gate): integer stopword score (1000 * stopwords //
+    words), per-source discrete median threshold, keep docs at or
+    above their own domain's median.
+
+    Two passes, both bounded: pass 1 reduces to (source, score)
+    histogram partials per batch — at most sources x 1001 rows ever
+    shuffle, whatever the corpus — and the driver reads each
+    threshold off the merged CDF (quantile_disc rank = ceil(q*n),
+    the DuckDB semantics pinned by the differential fuzz). Pass 2
+    re-streams the corpus with the broadcast threshold dict and
+    filters map-side. Integer score + rank-based quantile = no float
+    anywhere, bit-stable under any parallelism."""
+    import math
+
+    import numpy as np
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    )
+    word_re = textstats._RE_WORD
+    stop_set = textstats._STOP_SET
+
+    def score_arr(texts: list) -> "np.ndarray":
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = word_re.findall(t.lower())
+            out[i] = (
+                (1000 * sum(1 for w in ws if w in stop_set)) // len(ws)
+                if ws
+                else 0
+            )
+        return out
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        scores = score_arr(t["text"].to_pylist())
+        srcs = np.asarray(t["source"].to_pylist())
+        out_s, out_sc, out_n = [], [], []
+        for s in np.unique(srcs):
+            vals, counts = np.unique(scores[srcs == s], return_counts=True)
+            out_s.extend([str(s)] * len(vals))
+            out_sc.extend(int(v) for v in vals)
+            out_n.extend(int(c) for c in counts)
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "score": pa.array(out_sc, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["source", "score"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= sources x 1001 rows by construction
+    )
+    thr: dict[str, int] = {}
+    for source, grp in hist.groupby("source"):
+        grp = grp.sort_values("score")
+        total = int(grp["n"].sum())
+        target = max(1, math.ceil(0.5 * total))
+        cum = grp["n"].cumsum()
+        thr[source] = int(grp.loc[cum >= target, "score"].iloc[0])
+    thr_ref = ray.put(thr)
+
+    def gate(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+
+        cuts = cached_get(thr_ref)
+        scores = score_arr(t["text"].to_pylist())
+        srcs = t["source"].to_pylist()
+        keep = pa.array(
+            [sc >= cuts[s] for s, sc in zip(srcs, scores)], pa.bool_()
+        )
+        mask = keep.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(keep),
+                "source": t["source"].filter(keep),
+                "score": pa.array(scores[mask], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_DOMAIN_QUALITY_GATE = f"""
+WITH sc AS (
+  SELECT doc_id, source,
+    CASE WHEN length(regexp_extract_all(lower(text), '[a-z]+')) = 0
+         THEN 0
+         ELSE 1000 * length(list_filter(
+                regexp_extract_all(lower(text), '[a-z]+'),
+                w -> w IN ({_STOP_SQL})))
+              // length(regexp_extract_all(lower(text), '[a-z]+')) END
+      AS score
+  FROM documents
+), thr AS (
+  SELECT source, quantile_disc(score, 0.5) AS t FROM sc GROUP BY source
+)
+SELECT s.doc_id, s.source, CAST(s.score AS BIGINT) AS score
+FROM sc s JOIN thr t ON t.source = s.source
+WHERE s.score >= t.t
+"""
+
+
 def q_bm25_topk(sf_dir: str):
     """BM25 (k1=1.5, b=0.75) document ranking for a corpus-derived
     query: the 8 highest-df words (ties lexicographic).
@@ -5386,6 +5495,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "events_running_total": q_events_running_total,
     "pagerank": q_pagerank,
+    "domain_quality_gate": q_domain_quality_gate,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5554,6 +5664,7 @@ ORACLE_SQL = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "pagerank": SQL_PAGERANK,
+    "domain_quality_gate": SQL_DOMAIN_QUALITY_GATE,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

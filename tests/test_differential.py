@@ -113,6 +113,7 @@ DIFFERENTIAL_QUERIES = [
     "topic_classify",
     "fingerprint",
     "hll_distinct",
+    "domain_quality_gate",
     "bm25_topk",
     "minhash_near_dups",
     "simhash_near_dups",
