@@ -436,26 +436,45 @@ def pagerank(edges: ray.data.Dataset, iters: int = PAGERANK_ITERS):
     unrolled SQL oracle) — no float damping factor to drift.
 
     Distribution shape: the EDGE set streams; the NODE table (node,
-    outdeg, rank) is the reduced side, broadcast per iteration via
-    ``ray.put`` as sorted numpy arrays and joined map-side by
-    searchsorted — the same broadcastable-dimension regime as the
-    as-of/range lookups. Per-batch partial sums mean each iteration
-    shuffles at most nodes-sized partials. For node tables beyond
-    broadcast budget, swap the lookup for a hash-partitioned
-    ``Dataset.join`` per iteration — same semantics, all-to-all cost.
+    outdeg, rank) is the reduced side — BY ASSUMPTION within broadcast
+    budget (the same regime as the as-of/range lookups). That
+    assumption buys the big win: per iteration each edge block reduces
+    to ONE dense int64 inflow vector over the node universe (8 bytes x
+    nodes per block) and the driver sums those vectors — integer
+    addition commutes, so this is exact — replacing a nodes-sized
+    all-to-all ``groupby(dst)`` per iteration with a blocks-sized
+    ``take_all`` (measured 4 s/iter -> ~0.3 s/iter at sf0.1). Degree
+    counting uses the same dense per-block reduce. For node tables
+    beyond broadcast budget, swap back to hash-partitioned
+    ``groupby(dst).sum`` partials per iteration — same semantics,
+    all-to-all cost.
 
     Returns (node, rank) as a small driver-side Arrow table (nodes =
     the reduced result, the thing PageRank exists to produce).
     """
     edges = edges.materialize()  # consumed once per iteration + degree
+
+    # node universe + outdegree: per-block (unique src, count) partials
+    # merged driver-side (node-regime table, vectorized pandas merge)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["src"].to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {
+                "src": pa.array(vals, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
     deg = (
-        edges.groupby("src")
-        .aggregate(Count(alias_name="outdeg"))
+        edges.map_batches(deg_partial, batch_format="pyarrow")
         .to_pandas()
-        .sort_values("src")
+        .groupby("src", sort=True)["n"]
+        .sum()
     )
-    nodes = deg["src"].to_numpy().astype(np.int64)
-    outdeg = deg["outdeg"].to_numpy().astype(np.int64)
+    nodes = deg.index.to_numpy().astype(np.int64)
+    outdeg = deg.to_numpy().astype(np.int64)
     rank = np.full(len(nodes), PAGERANK_SCALE, dtype=np.int64)
     base = (15 * PAGERANK_SCALE) // 100
 
@@ -466,29 +485,21 @@ def pagerank(edges: ray.data.Dataset, iters: int = PAGERANK_ITERS):
             nds, contrib = ray.get(state_ref)
             src = batch["src"].to_numpy()
             dst = batch["dst"].to_numpy()
-            pos = np.searchsorted(nds, src)
-            t = pa.table(
-                {
-                    "dst": pa.array(dst, pa.int64()),
-                    "inflow": pa.array(contrib[pos], pa.int64()),
-                }
-            )
-            g = pa.TableGroupBy(t, "dst", use_threads=False).aggregate(
-                [("inflow", "sum")]
+            dense = np.zeros(len(nds), dtype=np.int64)
+            np.add.at(
+                dense,
+                np.searchsorted(nds, dst),
+                contrib[np.searchsorted(nds, src)],
             )
             return pa.table(
-                {"dst": g["dst"], "inflow": g["inflow_sum"]}
+                {"inflow": pa.array([dense.tobytes()], pa.large_binary())}
             )
 
-        inflow_df = (
-            edges.map_batches(flow, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("inflow", alias_name="inflow"))
-            .to_pandas()
-        )
         inflow = np.zeros(len(nodes), dtype=np.int64)
-        pos = np.searchsorted(nodes, inflow_df["dst"].to_numpy())
-        inflow[pos] = inflow_df["inflow"].to_numpy()
+        for r in edges.map_batches(
+            flow, batch_format="pyarrow"
+        ).take_all():
+            inflow += np.frombuffer(r["inflow"], dtype=np.int64)
         rank = base + (85 * inflow) // 100
 
     return pa.table(

@@ -75,7 +75,18 @@ def _random_corpus(seed: int, n_docs: int = 60) -> pa.Table:
             "doc_id": pa.array(range(n), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
-            "source": pa.array(["fuzz"] * n, pa.string()),
+            # several sources, so per-domain ops (domain_quality_gate,
+            # hll_distinct, temperature_mix, ...) fuzz their actual
+            # multi-group logic rather than degenerating to one group
+            "source": pa.array(
+                [
+                    random.Random(seed * 7919 + i).choice(
+                        ["fuzz-a", "fuzz-b", "fuzz-c"]
+                    )
+                    for i in range(n)
+                ],
+                pa.string(),
+            ),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
