@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "fuzzy_dedup",
     "dup_ngram_spans",
     "dsir_weights",
+    "dsir_resample",
+    "top_docs_per_lang",
     "bloom_new_urls",
     "bigram_logprob",
     "term_postings",

@@ -3411,6 +3411,102 @@ FROM h
 """
 
 
+def q_dsir_resample(sf_dir: str):
+    """DSIR importance RESAMPLING — the apply step over
+    ``dsir_weights``: accept doc i iff hash_fraction(i) <
+    sigmoid(log_weight_i). The acceptance test is integer-exact on
+    both sides (md5-nibble hash mod 1e6 vs the 6-digit-scaled rounded
+    sigmoid), so parallel Ray and serial SQL keep the identical
+    sample. Model fit is one counting pass; the ratio table broadcasts
+    once; accept/reject is map-only — no shuffle anywhere."""
+    import hashlib
+    import math
+
+    from ..stages.textstats import dsir_model, make_dsir_scorer
+
+    model = dsir_model(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+        ),
+        target_lang="en",
+    )
+    model_ref = ray.put(model)
+    scored = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(make_dsir_scorer(model_ref), batch_format="pyarrow")
+
+    def accept(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        lws = t["log_weight"].to_pylist()
+        keep = []
+        for did, lw in zip(ids, lws):
+            hv = (
+                int(
+                    hashlib.md5(str(did).encode()).hexdigest()[:8], 16
+                )
+                % 1_000_000
+            )
+            thr = round(1_000_000.0 / (1.0 + math.exp(-lw)))
+            keep.append(hv < thr)
+        mask = pa.array(keep, pa.bool_())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(mask),
+                "lang": t["lang"].filter(mask),
+                "log_weight": t["log_weight"].filter(mask),
+            }
+        )
+
+    return scored.map_batches(accept, batch_format="pyarrow")
+
+
+# SQL_DSIR_RESAMPLE is defined next to SQL_DSIR_WEIGHTS below (it
+# inlines that query as a CTE, so it must follow its definition).
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (k=3 longest docs per language): map-side
+    partial top-3 per lang inside every batch, one bounded
+    groupby(lang) final top-3 — only ~k x langs x blocks skinny rows
+    ever shuffle. Total order (n_chars DESC, doc_id ASC) makes the
+    cut deterministic."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("lang", sort=False).head(3).copy()
+        out["rank"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(
+            lambda df: topk(df).drop(columns=["rank"]),
+            batch_format="pandas",
+        )
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+WHERE rank <= 3
+"""
+
+
 def q_line_dedup(sf_dir: str):
     """Sub-document (line-level) exact dedup, CCNet/RefinedWeb-style:
     documents explode to 10-word lines, lines dedup globally by md5
@@ -5453,6 +5549,26 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+SQL_DSIR_RESAMPLE = f"""
+WITH dw AS ({SQL_DSIR_WEIGHTS}),
+hh AS (
+  SELECT doc_id,
+    sum(CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), k + 1, 1)) - 1
+             AS BIGINT)
+        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
+               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
+               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
+  FROM documents, generate_series(0, 7) AS g(k)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, d.log_weight
+FROM dw d JOIN hh USING (doc_id)
+WHERE hh.hv % 1000000
+      < CAST(round(1000000.0 / (1.0 + exp(-d.log_weight))) AS BIGINT)
+"""
+
+
 def q_dup_ngram_spans(sf_dir: str):
     """Exact-substring duplication proxy (Lee et al. 2021 / RefinedWeb
     exact-substring stage): word 5-grams occurring in >= 2 distinct
@@ -5532,6 +5648,8 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "pagerank": q_pagerank,
     "domain_quality_gate": q_domain_quality_gate,
+    "dsir_resample": q_dsir_resample,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5701,6 +5819,8 @@ ORACLE_SQL = {
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "pagerank": SQL_PAGERANK,
     "domain_quality_gate": SQL_DOMAIN_QUALITY_GATE,
+    "dsir_resample": SQL_DSIR_RESAMPLE,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -104,6 +104,8 @@ DIFFERENTIAL_QUERIES = [
     "boilerplate_lines",
     "dup_ngram_spans",
     "dsir_weights",
+    "dsir_resample",
+    "top_docs_per_lang",
     "bigram_logprob",
     "unigram_logprob",
     "tfidf_terms",
