@@ -1037,7 +1037,10 @@ def q_domain_quality_gate(sf_dir: str):
     histogram partials per batch — at most sources x 1001 rows ever
     shuffle, whatever the corpus — and the driver reads each
     threshold off the merged CDF (quantile_disc rank = ceil(q*n),
-    the DuckDB semantics pinned by the differential fuzz). Pass 2
+    the DuckDB semantics pinned by the differential fuzz). The same
+    grouped-histogram shape backs stages/ranking.py's ntile (float
+    score grid, driver arrow merge); this one stays integer-keyed
+    with a Ray groupby merge, so they share the idea, not code. Pass 2
     re-streams the corpus with the broadcast threshold dict and
     filters map-side. Integer score + rank-based quantile = no float
     anywhere, bit-stable under any parallelism."""
@@ -5640,7 +5643,10 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 
 
 QUERIES = {
-    # --- round-3 additions first (driver-gate checked prefix) ---
+    # --- flagship first: the north-star extraction path must sit in
+    # whatever prefix the driver gate samples ---
+    "extract_e2e": q_extract_e2e,
+    # --- round-3 additions next (newest least-proven ops) ---
     "events_range_join": q_events_range_join,
     "hll_distinct": q_hll_distinct,
     "bm25_topk": q_bm25_topk,
@@ -5691,8 +5697,7 @@ QUERIES = {
     # --- round-3 additions (also inside the checked prefix) ---
     "blueprint_generate": q_blueprint_generate,
     "render_pptx_styled": q_render_pptx_styled,
-    # --- flagship + extraction path ---
-    "extract_e2e": q_extract_e2e,
+    # --- extraction path (flagship extract_e2e leads the registry) ---
     "extraction_metrics": q_extraction_metrics,
     "domain_stats": q_domain_stats,
     "sniff_doc_types": q_sniff_doc_types,

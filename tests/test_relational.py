@@ -336,3 +336,31 @@ def test_anti_filter_regimes_agree_randomized(seed):
         ).take_all()
     }
     assert bc == want and jn == want
+
+
+def test_pagerank_hand_computed_and_layout_invariant():
+    """3-node path graph, 3 integer iterations, checked against the
+    hand-computed fixed arithmetic; identical under any block layout
+    (dense partials are exact integer sums)."""
+    edges_tbl = pa.table(
+        {
+            "src": pa.array([1, 2, 2, 3], pa.int64()),
+            "dst": pa.array([2, 1, 3, 2], pa.int64()),
+        }
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in relational.pagerank(
+            ray.data.from_arrow(edges_tbl)
+        ).to_pylist()
+    }
+    # iter1: ranks (575000, 1850000, 575000); iter2: (936250, 1127500,
+    # 936250); iter3: (629187, 1741625, 629187)
+    assert out == {1: 629187, 2: 1741625, 3: 629187}
+    out13 = {
+        r["node"]: r["rank"]
+        for r in relational.pagerank(
+            ray.data.from_arrow(edges_tbl).repartition(4)
+        ).to_pylist()
+    }
+    assert out13 == out
