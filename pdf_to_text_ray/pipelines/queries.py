@@ -1536,6 +1536,9 @@ def q_events_hourly(sf_dir: str):
             .size()
             .reset_index(name="n_events")
         )
+        g["part"] = ((g["user_id"] + g["hour_bucket"]) & 63).astype(
+            "int32"
+        )
         return pa.Table.from_pandas(
             g.astype(
                 {"user_id": "int64", "hour_bucket": "int64", "n_events": "int64"}
@@ -1543,9 +1546,15 @@ def q_events_hourly(sf_dir: str):
             preserve_index=False,
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["user_id", "hour_bucket"]).aggregate(
-        Sum("n_events", alias_name="n_events")
+    def combine(df):
+        return df.groupby(
+            ["user_id", "hour_bucket"], sort=False, as_index=False
+        )["n_events"].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
@@ -1583,6 +1592,12 @@ def q_events_sliding(sf_dir: str):
             .size()
             .reset_index(name="n_events")
         )
+        # bounded-partition merge key: one vectorized groupby-sum per
+        # partition instead of a global multi-key sort-aggregate over
+        # every partial row
+        g["part"] = ((g["user_id"] + g["window_start"]) & 63).astype(
+            "int32"
+        )
         return pa.Table.from_pandas(
             g.astype(
                 {"user_id": "int64", "window_start": "int64", "n_events": "int64"}
@@ -1590,9 +1605,16 @@ def q_events_sliding(sf_dir: str):
             preserve_index=False,
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["user_id", "window_start"]
-    ).aggregate(Sum("n_events", alias_name="n_events"))
+    def combine(df):
+        return df.groupby(
+            ["user_id", "window_start"], sort=False, as_index=False
+        )["n_events"].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 SQL_EVENTS_SLIDING = """
