@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "dsir_resample",
     "top_docs_per_lang",
+    "group_sample",
     "bloom_new_urls",
     "bigram_logprob",
     "term_postings",

@@ -3489,6 +3489,71 @@ def q_dsir_resample(sf_dir: str):
 # inlines that query as a CTE, so it must follow its definition).
 
 
+def q_group_sample(sf_dir: str):
+    """Uniform k-per-group sample (k=5 docs per language), seed-free:
+    order each group by the md5-nibble hash of doc_id and keep the k
+    smallest — a deterministic stand-in for random sampling that any
+    engine reproduces bit-exactly. Same bounded shape as
+    ``top_docs_per_lang``: map-side partial top-k per group, one
+    bounded groupby(lang) final cut."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        hv = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            for d in t["doc_id"].to_pylist()
+        ]
+        return t.append_column("hv", pa.array(hv, pa.int64()))
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["lang", "hv", "doc_id"], kind="mergesort"
+        )
+        out = df.groupby("lang", sort=False).head(5).copy()
+        out["rank"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(with_hash, batch_format="pyarrow")
+        .map_batches(
+            lambda df: topk(df).drop(columns=["rank"]),
+            batch_format="pandas",
+        )
+        .groupby("lang")
+        .map_groups(
+            lambda df: topk(df).drop(columns=["hv"]),
+            batch_format="pandas",
+        )
+    )
+
+
+SQL_GROUP_SAMPLE = """
+WITH hh AS (
+  SELECT doc_id,
+    sum(CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), k + 1, 1)) - 1
+             AS BIGINT)
+        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
+               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
+               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
+  FROM documents, generate_series(0, 7) AS g(k)
+  GROUP BY doc_id
+)
+SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT d.doc_id, d.lang,
+    row_number() OVER (PARTITION BY d.lang
+                       ORDER BY hh.hv, d.doc_id) AS rank
+  FROM documents d JOIN hh USING (doc_id))
+WHERE rank <= 5
+"""
+
+
 def q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (k=3 longest docs per language): map-side
     partial top-3 per lang inside every batch, one bounded
@@ -5678,6 +5743,7 @@ QUERIES = {
     "domain_quality_gate": q_domain_quality_gate,
     "dsir_resample": q_dsir_resample,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "group_sample": q_group_sample,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5848,6 +5914,7 @@ ORACLE_SQL = {
     "domain_quality_gate": SQL_DOMAIN_QUALITY_GATE,
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "group_sample": SQL_GROUP_SAMPLE,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -106,6 +106,7 @@ DIFFERENTIAL_QUERIES = [
     "dsir_weights",
     "dsir_resample",
     "top_docs_per_lang",
+    "group_sample",
     "bigram_logprob",
     "unigram_logprob",
     "tfidf_terms",
