@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "top_docs_per_lang",
     "group_sample",
+    "fuzzy_url_join",
     "bloom_new_urls",
     "bigram_logprob",
     "term_postings",

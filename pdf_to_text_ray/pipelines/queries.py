@@ -5592,6 +5592,110 @@ WHERE url NOT IN (SELECT url FROM a)
 """
 
 
+def _within_edit1(a: str, b: str) -> bool:
+    """Levenshtein(a, b) <= 1, branch-exact with DuckDB levenshtein:
+    equal strings, one substitution, or one insertion/deletion."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def q_fuzzy_url_join(sf_dir: str):
+    """Approximate string self-join (record linkage): all url pairs
+    within edit distance 1, via SymSpell deletion-neighborhood
+    blocking — each url emits itself plus every single-character
+    deletion as candidate keys (COMPLETE for distance <= 1: a
+    substitution shares the both-deleted key, an insertion's deletion
+    IS the other string), keys hash into 64 bounded partitions,
+    candidate pairs verify with an exact distance check inside the
+    partition, and only the verified near-dup pairs (tiny by
+    construction) reach the final distinct. Never quadratic: compute
+    = sum of squares of per-key bucket sizes, not corpus^2."""
+    import itertools
+    import zlib
+
+    from ..sources.synth import url_for
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ks, us, ps = [], [], []
+        for did in t["doc_id"].to_pylist():
+            u = url_for(did)
+            keys = {u}
+            keys.update(u[:i] + u[i + 1 :] for i in range(len(u)))
+            for k in keys:
+                ks.append(k)
+                us.append(u)
+                ps.append(zlib.crc32(k.encode("utf-8")) & 63)
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.string()),
+                "url": pa.array(us, pa.string()),
+                "part": pa.array(ps, pa.int32()),
+            }
+        )
+
+    def bucket_pairs(df):
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _, grp in df.groupby("k", sort=False):
+            urls = sorted(set(grp["url"]))
+            if len(urls) < 2:
+                continue
+            for a, b in itertools.combinations(urls, 2):
+                if _within_edit1(a, b):
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame(
+            {"url_a": out_a, "url_b": out_b}
+        ).drop_duplicates()
+
+    return (
+        ids.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        # a pair is re-found under every shared key; keys hash to
+        # different partitions, so the distinct is global (the pair
+        # set is near-dup-sized — this groupby is tiny)
+        .groupby(["url_a", "url_b"])
+        .map_groups(
+            lambda df: df.head(1), batch_format="pandas"
+        )
+    )
+
+
+SQL_FUZZY_URL_JOIN = """
+WITH urls AS (
+  SELECT 'https://site-' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), keys AS (
+  SELECT DISTINCT url,
+    unnest([url] || list_transform(range(1, length(url) + 1),
+      i -> substr(url, 1, i - 1) || substr(url, i + 1))) AS k
+  FROM urls
+), cand AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.url < b.url
+)
+SELECT url_a, url_b FROM cand WHERE levenshtein(url_a, url_b) <= 1
+"""
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weighting (Xie et al. 2023): per-doc
     length-normalized log-likelihood ratio of a target-domain (lang
@@ -5744,6 +5848,7 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "top_docs_per_lang": q_top_docs_per_lang,
     "group_sample": q_group_sample,
+    "fuzzy_url_join": q_fuzzy_url_join,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -5915,6 +6020,7 @@ ORACLE_SQL = {
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "group_sample": SQL_GROUP_SAMPLE,
+    "fuzzy_url_join": SQL_FUZZY_URL_JOIN,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

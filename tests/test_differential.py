@@ -107,6 +107,7 @@ DIFFERENTIAL_QUERIES = [
     "dsir_resample",
     "top_docs_per_lang",
     "group_sample",
+    "fuzzy_url_join",
     "bigram_logprob",
     "unigram_logprob",
     "tfidf_terms",
@@ -630,3 +631,20 @@ def fuzz_md_dir(request, tmp_path_factory):
 @pytest.mark.parametrize("name", MARKDOWN_QUERIES)
 def test_markdown_family_matches_oracle_on_safe_corpus(name, fuzz_md_dir):
     _check(name, fuzz_md_dir)
+
+
+def test_within_edit1_matches_duckdb_levenshtein():
+    """The engine's blocking-verify predicate == DuckDB levenshtein<=1
+    on randomized short strings over a small alphabet (dense in the
+    0/1/2-distance space, incl. empty strings)."""
+    rng = random.Random(5)
+    from pdf_to_text_ray.pipelines.queries import _within_edit1
+
+    con = duckdb.connect()
+    for _ in range(2000):
+        a = "".join(rng.choices("abcx", k=rng.randint(0, 6)))
+        b = "".join(rng.choices("abcx", k=rng.randint(0, 6)))
+        sql = con.execute(
+            "SELECT levenshtein(?, ?) <= 1", [a, b]
+        ).fetchone()[0]
+        assert _within_edit1(a, b) == sql, (a, b)
