@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "events_asof_orders",
     "events_range_join",
     "events_running_total",
+    "events_pivot",
     "funnel_conversion",
     "event_props",
     "route_counts",

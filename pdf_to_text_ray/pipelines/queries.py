@@ -2514,6 +2514,61 @@ FROM r3
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot: one row per user, one count column per event type (the
+    wide-format features table a trainer consumes). Map-side partial
+    (user, type) counts pivot to the fixed column set inside each
+    batch; bounded user-hash partitions merge with one vectorized
+    groupby-sum each — the pivoted width is the known type vocabulary,
+    so no dynamic-schema machinery is needed."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(df):
+        wide = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .reindex(columns=list(_EVENT_TYPES), fill_value=0)
+            .reset_index()
+        )
+        wide.columns = ["user_id"] + [f"n_{t}" for t in _EVENT_TYPES]
+        wide["part"] = (wide["user_id"] & 63).astype("int32")
+        return wide
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def combine(df):
+        out = df.groupby("user_id", sort=False, as_index=False)[
+            cols
+        ].sum()
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+    AS n_purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Window function: per-event cumulative spend per user
     (SUM OVER (PARTITION BY user ORDER BY ts, event_id)) — bounded
@@ -5849,6 +5904,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "group_sample": q_group_sample,
     "fuzzy_url_join": q_fuzzy_url_join,
+    "events_pivot": q_events_pivot,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6021,6 +6077,7 @@ ORACLE_SQL = {
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "group_sample": SQL_GROUP_SAMPLE,
     "fuzzy_url_join": SQL_FUZZY_URL_JOIN,
+    "events_pivot": SQL_EVENTS_PIVOT,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

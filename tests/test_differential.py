@@ -306,6 +306,7 @@ EVENT_QUERIES = [
     "events_sessionize",
     "events_range_join",
     "events_running_total",
+    "events_pivot",
     "funnel_conversion",
     "event_props",
 ]
