@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "embedding_near_dups_lsh",
     "kmeans_clusters",
+    "embedding_gram",
     "events_hourly",
     "events_sliding",
     "events_sessionize",

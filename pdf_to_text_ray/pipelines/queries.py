@@ -1329,6 +1329,78 @@ def q_kmeans_clusters(sf_dir: str):
     return clustering.kmeans(ds)
 
 
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix G = sum_rows q q^T over the quantized
+    embedding table — the covariance/PCA building block. Each block
+    reduces to ONE dense d x d int64 partial (32 KiB at d=64); the
+    driver sums the blockwise partials exactly (integer addition
+    commutes) — the matrix-accumulation instance of the dense-reduce
+    pattern shared with kmeans/pagerank. Output: (i, j, g), 1-based
+    dims, exact integers."""
+    import numpy as np
+
+    from ..stages.clustering import quantize_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = quantize_batch(t)
+        if not len(q):
+            return pa.table(
+                {"g": pa.array([], pa.large_binary()),
+                 "d": pa.array([], pa.int64())}
+            )
+        g = q.T @ q  # [d, d] int64, exact
+        return pa.table(
+            {
+                "g": pa.array([g.tobytes()], pa.large_binary()),
+                "d": pa.array([g.shape[0]], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = [r for r in rows if r["d"]]
+    if not rows:
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "g": pa.array([], pa.int64()),
+            }
+        )
+    d = int(rows[0]["d"])
+    total = np.zeros((d, d), np.int64)
+    for r in rows:
+        total += np.frombuffer(r["g"], np.int64).reshape(d, d)
+    i = np.repeat(np.arange(1, d + 1), d)
+    j = np.tile(np.arange(1, d + 1), d)
+    return pa.table(
+        {
+            "i": pa.array(i, pa.int64()),
+            "j": pa.array(j, pa.int64()),
+            "g": pa.array(total.ravel(), pa.int64()),
+        }
+    )
+
+
+SQL_EMBEDDING_GRAM = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(floor(CAST(e AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), e1 AS (
+  SELECT vec_id, unnest(range(1, len(qv) + 1)) AS i, unnest(qv) AS v
+  FROM q
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+FROM e1 a JOIN e1 b USING (vec_id)
+GROUP BY a.i, b.i
+"""
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
     """Unrolled Lloyd's in DuckDB: assignment = row_number over exact
     integer distances (ties -> smallest cluster), update =
@@ -5905,6 +5977,7 @@ QUERIES = {
     "group_sample": q_group_sample,
     "fuzzy_url_join": q_fuzzy_url_join,
     "events_pivot": q_events_pivot,
+    "embedding_gram": q_embedding_gram,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6078,6 +6151,7 @@ ORACLE_SQL = {
     "group_sample": SQL_GROUP_SAMPLE,
     "fuzzy_url_join": SQL_FUZZY_URL_JOIN,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -319,6 +319,7 @@ EMBEDDING_QUERIES = [
     "ann_cosine_topk",
     "ivf_topk",
     "kmeans_clusters",
+    "embedding_gram",
 ]
 
 
