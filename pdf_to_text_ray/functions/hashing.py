@@ -205,6 +205,31 @@ def token_hashes64(toks: list[str]) -> np.ndarray:
     return _fmix64((pt[ends] - pt[starts]) * pw[ends - 1])
 
 
+def deletion_hashes64(s: str) -> np.ndarray:
+    """uint64 hashes of s itself plus every single-character deletion
+    of s — the SymSpell edit-distance-1 blocking keys — ALL from one
+    prefix-hash pass: H(del_i) = H(prefix_i) * B^(n-1-i) + H(suffix_i)
+    (polynomial hashes compose under concatenation), fmix64-finalized.
+    Content-only: equal deletion STRINGS from different sources hash
+    equal, so blocking completeness is preserved with no per-key
+    hashlib call. Returns [n+1] hashes (index 0 = the string itself)."""
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    n = len(c)
+    pt, pw = _prefix_hash(c, _B64, _B64_INV, np.uint64)
+    out = np.zeros(n + 1, dtype=np.uint64)
+    if n:
+        # array ops throughout: numpy only warns on SCALAR uint64 wrap,
+        # and the mod-2^64 wrap is the point
+        out[:1] = (pt[n : n + 1] - pt[0]) * pw[n - 1 : n]
+        i = np.arange(n)
+        h_pre = np.zeros(n, dtype=np.uint64)
+        if n > 1:
+            h_pre[1:] = (pt[1:n] - pt[0]) * pw[: n - 1]
+        h_suf = (pt[n] - pt[i + 1]) * pw[n - 1]
+        out[1:] = h_pre * pw[n - 1 - i] + h_suf
+    return _fmix64(out)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (duplicate tokens keep their
     frequency weight, as SimHash requires)."""

@@ -5749,8 +5749,10 @@ def q_fuzzy_url_join(sf_dir: str):
     construction) reach the final distinct. Never quadratic: compute
     = sum of squares of per-key bucket sizes, not corpus^2."""
     import itertools
-    import zlib
 
+    import numpy as np
+
+    from ..functions.hashing import deletion_hashes64
     from ..sources.synth import url_for
 
     ids = ray.data.read_parquet(
@@ -5758,38 +5760,67 @@ def q_fuzzy_url_join(sf_dir: str):
     )
 
     def keyed(t: pa.Table) -> pa.Table:
-        ks, us, ps = [], [], []
+        # shuffle (key-HASH u64, doc_id) — 16 bytes/row instead of two
+        # ~40-char strings; urls are rebuilt from doc_id inside the
+        # verify partition. Deletion-key hashes come from ONE
+        # prefix-hash pass per url (polynomial hashes compose under
+        # concatenation — no per-key hashlib). A hash collision can
+        # only ADD a candidate pair, which the exact verify rejects —
+        # blocking stays complete (equal keys always hash equal).
+        ks, ds_ = [], []
         for did in t["doc_id"].to_pylist():
-            u = url_for(did)
-            keys = {u}
-            keys.update(u[:i] + u[i + 1 :] for i in range(len(u)))
-            for k in keys:
-                ks.append(k)
-                us.append(u)
-                ps.append(zlib.crc32(k.encode("utf-8")) & 63)
+            h = np.unique(deletion_hashes64(url_for(did)))
+            ks.append(h)
+            ds_.append(np.full(len(h), did, dtype=np.int64))
+        hs = (
+            np.concatenate(ks)
+            if ks
+            else np.empty(0, dtype=np.uint64)
+        )
+        dd = (
+            np.concatenate(ds_)
+            if ds_
+            else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
-                "k": pa.array(ks, pa.string()),
-                "url": pa.array(us, pa.string()),
-                "part": pa.array(ps, pa.int32()),
+                "k": pa.array(
+                    (hs >> np.uint64(1)).astype(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(dd, pa.int64()),
+                "part": pa.array(
+                    (hs & np.uint64(63)).astype(np.int32), pa.int32()
+                ),
             }
         )
 
     def bucket_pairs(df):
         import pandas as pd
 
+        k = df["k"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        bounds = np.flatnonzero(np.diff(k)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(k)]))
         out_a, out_b = [], []
-        for _, grp in df.groupby("k", sort=False):
-            urls = sorted(set(grp["url"]))
-            if len(urls) < 2:
+        seen: set = set()
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
+            dids = sorted(set(d[s:e].tolist()))
+            if len(dids) < 2:
+                continue
+            urls = sorted(url_for(x) for x in dids)
             for a, b in itertools.combinations(urls, 2):
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
                 if _within_edit1(a, b):
                     out_a.append(a)
                     out_b.append(b)
-        return pd.DataFrame(
-            {"url_a": out_a, "url_b": out_b}
-        ).drop_duplicates()
+        return pd.DataFrame({"url_a": out_a, "url_b": out_b})
 
     return (
         ids.map_batches(keyed, batch_format="pyarrow")

@@ -212,14 +212,14 @@ EXTRACTION_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module", params=[11, 23])
+@pytest.fixture(scope="module", params=[11, 23, 59])
 def fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzcorpus{request.param}")
     pq.write_table(_random_corpus(request.param), str(d / "documents.parquet"))
     return str(d)
 
 
-@pytest.fixture(scope="module", params=[31, 47])
+@pytest.fixture(scope="module", params=[31, 47, 83])
 def fuzz_dir_singlespace(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzss{request.param}")
     pq.write_table(
@@ -323,14 +323,14 @@ EMBEDDING_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module", params=[41, 53])
+@pytest.fixture(scope="module", params=[41, 53, 89])
 def fuzz_events_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzev{request.param}")
     pq.write_table(_random_events(request.param), str(d / "events.parquet"))
     return str(d)
 
 
-@pytest.fixture(scope="module", params=[61, 67])
+@pytest.fixture(scope="module", params=[61, 67, 101])
 def fuzz_embed_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzem{request.param}")
     pq.write_table(
@@ -552,7 +552,7 @@ RELATIONAL_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module", params=[71, 79])
+@pytest.fixture(scope="module", params=[71, 79, 103])
 def fuzz_rel_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzzrel{request.param}")
     _random_relational(request.param, str(d))
@@ -606,7 +606,7 @@ MARKDOWN_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module", params=[83, 97])
+@pytest.fixture(scope="module", params=[83, 97, 107])
 def fuzz_md_dir(request, tmp_path_factory):
     rng = random.Random(request.param)
     n_docs = 40
@@ -650,3 +650,33 @@ def test_within_edit1_matches_duckdb_levenshtein():
             "SELECT levenshtein(?, ?) <= 1", [a, b]
         ).fetchone()[0]
         assert _within_edit1(a, b) == sql, (a, b)
+
+
+def test_deletion_hashes_match_direct_horner():
+    """The O(1)-per-key deletion hashes (prefix-hash composition) ==
+    direct Horner hashing of each deletion string."""
+    import numpy as np
+
+    from pdf_to_text_ray.functions.hashing import (
+        _B64,
+        _fmix64,
+        deletion_hashes64,
+    )
+
+    def direct(s: str):
+        h = np.uint64(0)
+        for ch in s:
+            h = h * np.uint64(_B64) + np.uint64(ord(ch))
+        return _fmix64(np.array([h], np.uint64))[0]
+
+    rng = random.Random(3)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # scalar wrap
+        for _ in range(100):
+            s = "".join(rng.choices("abz0-./:x", k=rng.randint(0, 12)))
+            got = deletion_hashes64(s)
+            assert got[0] == direct(s)
+            for i in range(len(s)):
+                assert got[i + 1] == direct(s[:i] + s[i + 1 :])
