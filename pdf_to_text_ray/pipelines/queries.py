@@ -49,6 +49,28 @@ def _read_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# md5-nibble 32-bit doc_id hash: one Python helper + one SQL fragment
+# shared by every hash-draw oracle pair (train/val split predates this
+# and keeps its inline copy of the same contract).
+def _docid_hash32(doc_id) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+_HH_SQL = """
+  SELECT doc_id,
+    sum(CAST(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), k + 1, 1)) - 1
+             AS BIGINT)
+        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
+               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
+               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
+  FROM documents, generate_series(0, 7) AS g(k)
+  GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- e2e
 
 def q_extract_e2e(sf_dir: str):
@@ -893,6 +915,16 @@ def q_hll_distinct(sf_dir: str):
         .aggregate(Max("rho", alias_name="rho"))
         .to_pandas()
     )
+    if regs.empty or "source" not in regs.columns:
+        # no \w+ token anywhere (empty Datasets also drop their
+        # column names in to_pandas) — the oracle returns 0 rows
+        return pd.DataFrame(
+            {
+                "source": pd.array([], "str"),
+                "n_distinct": pd.array([], "int64"),
+                "hll_estimate": pd.array([], "float64"),
+            }
+        )
 
     def hash_pairs(batch: pa.Table) -> pa.Table:
         import re as _re
@@ -1151,8 +1183,11 @@ def q_bm25_topk(sf_dir: str):
     the 8-term query (closure constants — bytes, not a shuffle) and
     scores map-side, keeping a per-batch top-k so the final sort
     exchanges only ~k rows per block. Docs are ranked on the 6-dp
-    ROUNDED score with doc_id tie-break, so cross-engine last-ulp
-    drift cannot flip the cut."""
+    ROUNDED score with doc_id tie-break; the residual cross-engine
+    risk is a sum whose unrounded value sits within ~1 ulp of an
+    x.xxxxxx5 boundary (term-addition order differs from SQL) —
+    measure-zero for continuous scores, disclosed rather than
+    eliminated."""
     import math
     import re as _re
 
@@ -2512,7 +2547,9 @@ def q_pagerank(sf_dir: str):
         cust = custs[np.searchsorted(okeys_s, lk)]
         a = 2 * cust
         b = 2 * sk + 1
-        if a.size and (a.max() >= 1 << 32 or b.max() >= 1 << 32):
+        if a.size and (a.max() >= 1 << 31 or b.max() >= 1 << 31):
+            # 1 << 31, not 1 << 32: (src << 32) must stay positive in
+            # int64 or the unpack's arithmetic shift sign-extends
             raise ValueError("node id overflows the packed edge key")
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
@@ -2654,7 +2691,7 @@ def q_events_running_total(sf_dir: str):
 
 SQL_EVENTS_RUNNING_TOTAL = """
 SELECT event_id, user_id,
-       CAST(sum(CAST(round(value * 100) AS BIGINT))
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
             OVER (PARTITION BY user_id ORDER BY ts, event_id)
          AS BIGINT) AS running_cents
 FROM events
@@ -2704,7 +2741,7 @@ def q_events_range_join(sf_dir: str):
 SQL_EVENTS_RANGE_JOIN = """
 SELECT a.event_id AS anchor_id,
        CAST(count(*) AS BIGINT) AS n_follow,
-       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events a
 JOIN events e
@@ -3592,12 +3629,7 @@ def q_dsir_resample(sf_dir: str):
         lws = t["log_weight"].to_pylist()
         keep = []
         for did, lw in zip(ids, lws):
-            hv = (
-                int(
-                    hashlib.md5(str(did).encode()).hexdigest()[:8], 16
-                )
-                % 1_000_000
-            )
+            hv = _docid_hash32(did) % 1_000_000
             thr = round(1_000_000.0 / (1.0 + math.exp(-lw)))
             keep.append(hv < thr)
         mask = pa.array(keep, pa.bool_())
@@ -3623,8 +3655,6 @@ def q_group_sample(sf_dir: str):
     engine reproduces bit-exactly. Same bounded shape as
     ``top_docs_per_lang``: map-side partial top-k per group, one
     bounded groupby(lang) final cut."""
-    import hashlib
-
     import pandas as pd
 
     ds = ray.data.read_parquet(
@@ -3632,10 +3662,7 @@ def q_group_sample(sf_dir: str):
     )
 
     def with_hash(t: pa.Table) -> pa.Table:
-        hv = [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
-            for d in t["doc_id"].to_pylist()
-        ]
+        hv = [_docid_hash32(d) for d in t["doc_id"].to_pylist()]
         return t.append_column("hv", pa.array(hv, pa.int64()))
 
     def topk(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -3660,25 +3687,15 @@ def q_group_sample(sf_dir: str):
     )
 
 
-SQL_GROUP_SAMPLE = """
-WITH hh AS (
-  SELECT doc_id,
-    sum(CAST(strpos('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), k + 1, 1)) - 1
-             AS BIGINT)
-        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
-               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
-               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
-  FROM documents, generate_series(0, 7) AS g(k)
-  GROUP BY doc_id
-)
+SQL_GROUP_SAMPLE = f"""
+WITH hh AS ({_HH_SQL})
 SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM (
   SELECT d.doc_id, d.lang,
     row_number() OVER (PARTITION BY d.lang
                        ORDER BY hh.hv, d.doc_id) AS rank
   FROM documents d JOIN hh USING (doc_id))
 WHERE rank <= 5
-"""
+"""  # noqa: E501
 
 
 def q_top_docs_per_lang(sf_dir: str):
@@ -5903,17 +5920,7 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 SQL_DSIR_RESAMPLE = f"""
 WITH dw AS ({SQL_DSIR_WEIGHTS}),
-hh AS (
-  SELECT doc_id,
-    sum(CAST(strpos('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), k + 1, 1)) - 1
-             AS BIGINT)
-        * CAST(CASE k WHEN 0 THEN 268435456 WHEN 1 THEN 16777216
-               WHEN 2 THEN 1048576 WHEN 3 THEN 65536 WHEN 4 THEN 4096
-               WHEN 5 THEN 256 WHEN 6 THEN 16 ELSE 1 END AS BIGINT)) AS hv
-  FROM documents, generate_series(0, 7) AS g(k)
-  GROUP BY doc_id
-)
+hh AS ({_HH_SQL})
 SELECT d.doc_id, d.lang, d.log_weight
 FROM dw d JOIN hh USING (doc_id)
 WHERE hh.hv % 1000000

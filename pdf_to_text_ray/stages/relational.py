@@ -216,9 +216,12 @@ def _running_total_partition(df: pd.DataFrame) -> pd.DataFrame:
     a float running sum would drift with accumulation order."""
     df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
     uid = df["user_id"].to_numpy()
-    cents = (
-        np.round(df["value"].to_numpy() * 100.0).astype("int64")
-    )
+    # floor(x*100 + 0.5): no round-half-MODE ambiguity (np.round is
+    # half-to-even, DuckDB round() half-away — they disagree on exact
+    # .5 cents; the floor form is identical in both engines)
+    cents = np.floor(
+        df["value"].to_numpy() * 100.0 + 0.5
+    ).astype("int64")
     n = len(df)
     if n == 0:
         return pd.DataFrame(
@@ -268,18 +271,36 @@ def funnel_conversion(events: ray.data.Dataset) -> ray.data.Dataset:
 
 # ------------------------------------------------------------- as-of
 
+def _csr_lookup(keys, times, *payloads):
+    """Shared CSR build for the broadcast temporal lookups: sort by
+    (key, time), find group boundaries, return (sorted unique keys,
+    group start offsets, sorted flat times, *sorted payloads). Safe on
+    empty input (zero keys -> zero groups)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    times = np.asarray(times, dtype=np.int64)
+    order = np.lexsort((times, keys))
+    keys, times = keys[order], times[order]
+    sorted_payloads = tuple(
+        np.asarray(p, dtype=np.int64)[order] for p in payloads
+    )
+    if len(keys):
+        bounds = np.nonzero(np.diff(keys))[0] + 1
+        starts = np.concatenate(([0], bounds, [len(keys)]))
+        uniq = keys[starts[:-1]]
+    else:
+        starts = np.array([0], dtype=np.int64)
+        uniq = keys
+    return (uniq, starts, times) + sorted_payloads
+
+
 def make_asof_lookup(orders_tbl: pa.Table):
     """Broadcastable CSR-style lookup: (sorted unique keys, group start
     offsets, flat sorted dates). Three numpy arrays serialize through
     the object store zero-copy — a dict of 15k small arrays doesn't."""
-    keys = orders_tbl["o_custkey"].to_numpy()
-    dates = orders_tbl["o_orderdate"].cast(pa.int64()).to_numpy()
-    order = np.lexsort((dates, keys))
-    keys, dates = keys[order], dates[order]
-    bounds = np.nonzero(np.diff(keys))[0] + 1
-    starts = np.concatenate(([0], bounds, [len(keys)]))
-    uniq = keys[starts[:-1]]
-    return uniq, starts, dates
+    return _csr_lookup(
+        orders_tbl["o_custkey"].to_numpy(),
+        orders_tbl["o_orderdate"].cast(pa.int64()).to_numpy(),
+    )
 
 
 def make_asof_join(lookup_ref):
@@ -333,16 +354,9 @@ def make_range_lookup(keys, times, ids):
     zero-copy through the object store. The anchor side must be the
     broadcastable one (e.g. one event type out of many); a
     large x large interval join needs time-bucketed partitioning
-    instead."""
-    keys = np.asarray(keys, dtype=np.int64)
-    times = np.asarray(times, dtype=np.int64)
-    ids = np.asarray(ids, dtype=np.int64)
-    order = np.lexsort((times, keys))
-    keys, times, ids = keys[order], times[order], ids[order]
-    bounds = np.nonzero(np.diff(keys))[0] + 1
-    starts = np.concatenate(([0], bounds, [len(keys)]))
-    uniq = keys[starts[:-1]]
-    return uniq, starts, times, ids
+    instead. Empty anchors -> empty lookup -> zero matches, like the
+    SQL inner join."""
+    return _csr_lookup(keys, times, ids)
 
 
 def make_range_join_partials(
@@ -367,10 +381,11 @@ def make_range_join_partials(
         uniq, starts, times, ids = ray.get(lookup_ref)
         ts = pc.cast(batch["ts"], pa.int64()).to_numpy()
         uids = batch["user_id"].to_numpy()
-        cents = pc.cast(
-            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))),
-            pa.int64(),
-        ).to_numpy()
+        # floor(x*100 + 0.5) — see _running_total_partition's note on
+        # round-half-mode ambiguity
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
         n = len(uids)
         lo = np.zeros(n, dtype=np.int64)
         hi = np.zeros(n, dtype=np.int64)

@@ -94,3 +94,26 @@ def test_kmeans_empty_table():
     # (empty Dataset.to_pandas drops columns — a known Ray quirk the
     # oracle comparator rebuilds from ds.schema(); assert on schema)
     assert ds.schema().names == ["vec_id", "cluster", "dist"]
+
+
+def test_hll_query_empty_token_corpus(tmp_path):
+    """A corpus with no \\w+ token anywhere returns 0 rows (like the
+    SQL oracle), instead of tripping the empty-Dataset column-loss
+    quirk."""
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["", "   ..."], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["a", "b"], pa.string()),
+            "n_chars": pa.array([0, 6], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from pdf_to_text_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hll_distinct"](str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["source", "n_distinct", "hll_estimate"]

@@ -364,3 +364,34 @@ def test_pagerank_hand_computed_and_layout_invariant():
         ).to_pylist()
     }
     assert out13 == out
+
+
+def test_range_join_empty_anchor_side_yields_no_matches():
+    """No anchors (e.g. zero signup events) -> empty partials, like
+    the SQL inner join — not an IndexError."""
+    lookup_ref = ray.put(relational.make_range_lookup([], [], []))
+    batch = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([T0, T0], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    out = relational.make_range_join_partials(lookup_ref)(batch)
+    assert out.num_rows == 0
+
+
+def test_running_total_exact_half_cent_rounds_up():
+    """floor(x*100 + 0.5): the exact .5-cent tie (0.125*100 = 12.5,
+    representable) goes UP in both engines — np.round's half-to-even
+    would give 12 while DuckDB round() gives 13."""
+    df = pd.DataFrame(
+        {
+            "event_id": pd.array([1], "int64"),
+            "user_id": pd.array([7], "int64"),
+            "ts": pd.Series([T0]),
+            "value": [0.125],
+        }
+    )
+    out = relational._running_total_partition(df)
+    assert out["running_cents"].tolist() == [13]
