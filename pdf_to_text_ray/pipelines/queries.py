@@ -890,8 +890,9 @@ SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS md5_hash FROM documents"
 
 
 def q_hll_distinct(sf_dir: str):
-    """HyperLogLog distinct-vocabulary estimate per source, plus the
-    exact hash-distinct count as its accuracy twin.
+    """HyperLogLog (Flajolet et al. 2007) distinct-vocabulary estimate
+    per source, plus the exact hash-distinct count as its accuracy
+    twin.
 
     Sketch pass: per-batch register partials (<= sources x 256 rows
     per batch, whatever the batch size) -> one TINY
@@ -1172,8 +1173,9 @@ WHERE s.score >= t.t
 
 
 def q_bm25_topk(sf_dir: str):
-    """BM25 (k1=1.5, b=0.75) document ranking for a corpus-derived
-    query: the 8 highest-df words (ties lexicographic).
+    """Okapi BM25 (Robertson & Zaragoza 2009; k1=1.5, b=0.75) document
+    ranking for a corpus-derived query: the 8 highest-df words (ties
+    lexicographic).
 
     Phase 1 computes global df / N / avgdl in ONE tokenize pass with
     map-side combiners (corpus totals ride along as \\x00-prefixed
@@ -2522,7 +2524,8 @@ ASOF LEFT JOIN orders o
 
 
 def q_pagerank(sf_dir: str):
-    """PageRank (3 integer-exact iterations) over the symmetric
+    """PageRank (Brin & Page 1998; 3 integer-exact iterations) over
+    the symmetric
     customer–supplier co-occurrence graph (an edge wherever a customer
     order contains a supplier's lineitem; node ids parity-encoded
     2*cust / 2*supp+1). Edge build: broadcast the orders orderkey ->
@@ -5757,7 +5760,7 @@ def _within_edit1(a: str, b: str) -> bool:
 def q_fuzzy_url_join(sf_dir: str):
     """Approximate string self-join (record linkage): all url pairs
     within edit distance 1, via SymSpell deletion-neighborhood
-    blocking — each url emits itself plus every single-character
+    blocking (Garbe's symmetric-delete algorithm) — each url emits itself plus every single-character
     deletion as candidate keys (COMPLETE for distance <= 1: a
     substitution shares the both-deleted key, an insertion's deletion
     IS the other string), keys hash into 64 bounded partitions,

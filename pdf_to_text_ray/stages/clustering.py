@@ -1,4 +1,4 @@
-"""Distributed k-means over the embeddings table (Lloyd's algorithm).
+"""Distributed k-means over the embeddings table (Lloyd 1982).
 
 The iterative-ML shape on Ray Data: each iteration is ONE streaming
 pass — broadcast the k x d centroid matrix via ``ray.put``, assign
