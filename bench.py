@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "html_metadata",
     "doclen_quantiles",
+    "doclen_zscore",
+    "global_rank",
     "top_words",
     "sentence_split",
     "prepare_text",

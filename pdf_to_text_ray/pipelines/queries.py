@@ -1172,6 +1172,176 @@ WHERE s.score >= t.t
 """
 
 
+def q_global_rank(sf_dir: str):
+    """Global dense row numbering by (n_chars DESC, doc_id ASC) — the
+    zipWithIndex shape — WITHOUT a global sort: pass 1 reduces to a
+    length histogram (bounded by the length grid, not the corpus) and
+    the driver derives each length's base rank off the descending
+    CDF; pass 2 partitions BY LENGTH (n_chars & 63 — every doc of a
+    given length lands in one partition by construction), sorts each
+    bounded partition once, and reads within-length offsets off the
+    equal-length runs. Rank = broadcast base + local offset; nothing
+    corpus-sized is globally sorted or centralized."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            t["n_chars"].to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {
+                "n_chars": pa.array(vals, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars", ascending=False)
+    )
+    counts = hist["n"].to_numpy()
+    base = {
+        int(length): int(b)
+        for length, b in zip(
+            hist["n_chars"].to_numpy(),
+            1 + np.concatenate(([0], np.cumsum(counts)[:-1])),
+        )
+    }
+    base_ref = ray.put(base)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["n_chars"], pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("part", part)
+
+    def rank_partition(df):
+        from ..functions.broadcast import cached_get
+
+        b = cached_get(base_ref)
+        df = df.sort_values(
+            ["n_chars", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        lens = df["n_chars"].to_numpy()
+        n = len(df)
+        new_run = np.empty(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            new_run[1:] = lens[1:] != lens[:-1]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        offset = np.arange(n) - starts[run_id]
+        df["rank"] = np.array(
+            [b[int(x)] for x in lens[starts]], dtype=np.int64
+        )[run_id] + offset
+        return df[["doc_id", "n_chars", "rank"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_partition, batch_format="pandas")
+    )
+
+
+SQL_GLOBAL_RANK = """
+SELECT doc_id, n_chars,
+  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+    AS rank
+FROM documents
+"""
+
+
+def q_doclen_zscore(sf_dir: str):
+    """Global z-score normalization of doc length — the
+    whole-corpus-moments broadcast shape: n, sum(x), sum(x^2) reduce
+    as EXACT integers (one tiny aggregate), mean/variance derive on
+    the driver with the same float expression the SQL uses
+    (var = s2/n - mean*mean, population form), then one map-only pass
+    emits z = (x - mean)/sd rounded to 6 dp. No shuffle; constant
+    driver state."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = t["n_chars"].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "s1": pa.array([int(x.sum())], pa.int64()),
+                "s2": pa.array([int((x.astype(object) ** 2).sum())],
+                               pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .sum(["n", "s1", "s2"])
+    )
+    n, s1, s2 = (int(agg[f"sum({c})"]) for c in ("n", "s1", "s2"))
+    if n == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array([], "int64"),
+                "z": pd.array([], "float64"),
+            }
+        )
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    sd = var**0.5
+
+    def zmap(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = t["n_chars"].to_numpy().astype(np.float64)
+        z = (
+            np.round((x - mean) / sd, 6)
+            if sd > 0.0
+            else np.zeros(len(x))
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "z": pa.array(z, pa.float64())}
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+# population moments from exact integer sums; the float expression
+# (s2/n - mean^2, sqrt, divide, 6-dp round) is written identically on
+# both sides so the doubles match bit-for-bit
+SQL_DOCLEN_ZSCORE = """
+WITH m AS (
+  SELECT count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents
+), p AS (
+  SELECT n, s1 / CAST(n AS DOUBLE) AS mean,
+         sqrt(s2 / CAST(n AS DOUBLE)
+              - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+           AS sd
+  FROM m
+)
+SELECT d.doc_id,
+  CASE WHEN p.sd > 0.0
+       THEN round((CAST(d.n_chars AS DOUBLE) - p.mean) / p.sd, 6)
+       ELSE 0.0 END AS z
+FROM documents d CROSS JOIN p
+"""
+
+
 def q_bm25_topk(sf_dir: str):
     """Okapi BM25 (Robertson & Zaragoza 2009; k1=1.5, b=0.75) document
     ranking for a corpus-derived query: the 8 highest-df words (ties
@@ -6019,6 +6189,8 @@ QUERIES = {
     "fuzzy_url_join": q_fuzzy_url_join,
     "events_pivot": q_events_pivot,
     "embedding_gram": q_embedding_gram,
+    "doclen_zscore": q_doclen_zscore,
+    "global_rank": q_global_rank,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6193,6 +6365,8 @@ ORACLE_SQL = {
     "fuzzy_url_join": SQL_FUZZY_URL_JOIN,
     "events_pivot": SQL_EVENTS_PIVOT,
     "embedding_gram": SQL_EMBEDDING_GRAM,
+    "doclen_zscore": SQL_DOCLEN_ZSCORE,
+    "global_rank": SQL_GLOBAL_RANK,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

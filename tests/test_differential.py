@@ -116,6 +116,8 @@ DIFFERENTIAL_QUERIES = [
     "gopher_quality",
     "top_words",
     "doclen_quantiles",
+    "doclen_zscore",
+    "global_rank",
     "sentence_split",
     "train_val_split",
     "stratified_sample",
