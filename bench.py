@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
+    "len_token_corr",
     "top_words",
     "sentence_split",
     "prepare_text",

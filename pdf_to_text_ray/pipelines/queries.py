@@ -1172,6 +1172,90 @@ WHERE s.score >= t.t
 """
 
 
+def q_len_token_corr(sf_dir: str):
+    """Pearson correlation between doc length and whitespace token
+    count — the multi-moment aggregate shape: ONE map pass reduces
+    each batch to six exact integers (n, sx, sy, sxx, syy, sxy), a
+    tiny sum merges them, and the correlation derives from the same
+    explicit float expression on both sides (NOT the builtin corr() —
+    Welford-style streaming accumulators round differently from the
+    naive sums; explicit integer sums can't)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "n_chars"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy().astype(object)
+        y = np.array(
+            [
+                len(textstats._RE_TOKEN.findall(s))
+                for s in t["text"].to_pylist()
+            ],
+            dtype=object,
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(sum(x))], pa.int64()),
+                "sy": pa.array([int(sum(y))], pa.int64()),
+                "sxx": pa.array([int(sum(v * v for v in x))], pa.int64()),
+                "syy": pa.array([int(sum(v * v for v in y))], pa.int64()),
+                "sxy": pa.array(
+                    [int(sum(a * b for a, b in zip(x, y)))], pa.int64()
+                ),
+            }
+        )
+
+    agg = ds.map_batches(moments, batch_format="pyarrow").sum(
+        ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        int(agg[f"sum({c})"])
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    corr = (
+        round(num / (denx**0.5 * deny**0.5), 6)
+        if denx > 0 and deny > 0
+        else None
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([n], "int64"),
+            "corr_len_tokens": pd.array([corr], "float64"),
+        }
+    )
+
+
+# identical explicit expression: integer sums -> CAST once -> the same
+# float multiply/sqrt/divide tree, 6-dp rounded
+SQL_LEN_TOKEN_CORR = r"""
+WITH m AS (
+  SELECT count(*) AS n,
+    CAST(sum(n_chars) AS BIGINT) AS sx,
+    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sy,
+    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+    CAST(sum(len(regexp_extract_all(text, '\S+'))
+             * len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS syy,
+    CAST(sum(n_chars * len(regexp_extract_all(text, '\S+')))
+         AS BIGINT) AS sxy
+  FROM documents
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       ELSE NULL END AS corr_len_tokens
+FROM m
+"""
+
+
 def q_global_rank(sf_dir: str):
     """Global dense row numbering by (n_chars DESC, doc_id ASC) — the
     zipWithIndex shape — WITHOUT a global sort: pass 1 reduces to a
@@ -6191,6 +6275,7 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "doclen_zscore": q_doclen_zscore,
     "global_rank": q_global_rank,
+    "len_token_corr": q_len_token_corr,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6367,6 +6452,7 @@ ORACLE_SQL = {
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "doclen_zscore": SQL_DOCLEN_ZSCORE,
     "global_rank": SQL_GLOBAL_RANK,
+    "len_token_corr": SQL_LEN_TOKEN_CORR,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -118,6 +118,7 @@ DIFFERENTIAL_QUERIES = [
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
+    "len_token_corr",
     "sentence_split",
     "train_val_split",
     "stratified_sample",
