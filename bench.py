@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "parts_no_early_shipment",
     "supplier_revenue",
+    "weighted_avg_discount",
     "pagerank",
     "extraction_metrics",
     "dedup_exact",
@@ -108,6 +109,7 @@ BENCH_QUERIES = [
     "doclen_zscore",
     "global_rank",
     "len_token_corr",
+    "top_word_per_lang",
     "top_words",
     "sentence_split",
     "prepare_text",

@@ -2556,6 +2556,158 @@ def q_parts_no_early_shipment(sf_dir: str):
     ).map_batches(anti, batch_format="pyarrow")
 
 
+def q_weighted_avg_discount(sf_dir: str):
+    """Price-weighted average discount per returnflag — the weighted
+    mean as a RATIO OF EXACT INTEGER SUMS (num = sum cents*disc_bp,
+    den = sum cents), combined map-side per batch so only
+    flag-grained partials shuffle; the single float division happens
+    once per group, identically in both engines, 6-dp rounded."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        bp = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        w = pc.multiply_checked(cents, bp)
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "num": w,
+                "den": cents,
+            }
+        )
+        g = pa.TableGroupBy(
+            tt, "l_returnflag", use_threads=False
+        ).aggregate([("num", "sum"), ("den", "sum")])
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "num": g["num_sum"],
+                "den": g["den_sum"],
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("num", alias_name="num"), Sum("den", alias_name="den")
+        )
+        .to_pandas()
+    )
+    merged["avg_discount_bp"] = [
+        round(n / d, 6) if d else None
+        for n, d in zip(merged["num"], merged["den"])
+    ]
+    return merged[["l_returnflag", "avg_discount_bp"]]
+
+
+# num/den as exact integer sums (cents x basis points); ONE float
+# division per group, same expression both sides
+SQL_WEIGHTED_AVG_DISCOUNT = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      AS num,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS den
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CASE WHEN den <> 0
+       THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+       ELSE NULL END AS avg_discount_bp
+FROM m
+"""
+
+
+def q_top_word_per_lang(sf_dir: str):
+    """Grouped mode: the most frequent word per language (ties ->
+    lexicographically smallest). Word counts reduce through bounded
+    hash(word) partitions (vectorized per-partition groupby-sum — the
+    vocab never meets a global sort-aggregate); the per-lang argmax
+    runs over the REDUCED vocab x lang table with one tiny
+    groupby(lang)."""
+    import zlib
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lang, text in zip(
+            t["lang"].to_pylist(), t["text"].to_pylist()
+        ):
+            c.update(
+                (lang, w) for w in textstats._RE_WORD.findall(text.lower())
+            )
+        langs = [k[0] for k in c]
+        words = [k[1] for k in c]
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+                "part": pa.array(
+                    [
+                        zlib.crc32(w.encode("utf-8")) & 63
+                        for w in words
+                    ],
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def merge_part(df):
+        return df.groupby(
+            ["lang", "word"], sort=False, as_index=False
+        )["n"].sum()
+
+    def top1(df):
+        df = df.sort_values(
+            ["n", "word"], ascending=[False, True], kind="mergesort"
+        )
+        return df.head(1)[["lang", "word", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(top1, batch_format="pandas")
+    )
+
+
+SQL_TOP_WORD_PER_LANG = r"""
+WITH counts AS (
+  SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT lang,
+          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY lang, w
+)
+SELECT lang, word, n FROM (
+  SELECT lang, word, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
+  FROM counts)
+WHERE rn = 1
+"""
+
+
 def q_supplier_revenue(sf_dir: str):
     """Discounted revenue per supplier: the 10-row supplier table
     broadcasts as a sorted lookup over lineitem (map-side enrich, no
@@ -6276,6 +6428,8 @@ QUERIES = {
     "doclen_zscore": q_doclen_zscore,
     "global_rank": q_global_rank,
     "len_token_corr": q_len_token_corr,
+    "weighted_avg_discount": q_weighted_avg_discount,
+    "top_word_per_lang": q_top_word_per_lang,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6453,6 +6607,8 @@ ORACLE_SQL = {
     "doclen_zscore": SQL_DOCLEN_ZSCORE,
     "global_rank": SQL_GLOBAL_RANK,
     "len_token_corr": SQL_LEN_TOKEN_CORR,
+    "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
+    "top_word_per_lang": SQL_TOP_WORD_PER_LANG,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -119,6 +119,7 @@ DIFFERENTIAL_QUERIES = [
     "doclen_zscore",
     "global_rank",
     "len_token_corr",
+    "top_word_per_lang",
     "sentence_split",
     "train_val_split",
     "stratified_sample",
@@ -551,6 +552,7 @@ RELATIONAL_QUERIES = [
     "pricing_summary",
     "parts_no_early_shipment",
     "supplier_revenue",
+    "weighted_avg_discount",
     "pagerank",
 ]
 
