@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "global_rank",
     "len_token_corr",
     "top_word_per_lang",
+    "lang_vocab_overlap",
     "top_words",
     "sentence_split",
     "prepare_text",

@@ -2630,6 +2630,126 @@ FROM m
 """
 
 
+def q_lang_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between languages — the
+    set-similarity-matrix shape: distinct (lang, word) pairs reduce
+    through bounded word-hash partitions; within a partition every
+    word contributes to its lang-pair intersection counts (langs are
+    few, words are many — the loop is over langs-per-word, never
+    words x words); per-lang vocab sizes and pairwise intersections
+    merge as tiny integer tables and the Jaccard ratio is ONE float
+    division per lang pair, 6-dp rounded."""
+    import itertools
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        per: dict[str, set] = {}
+        for lang, text in zip(
+            t["lang"].to_pylist(), t["text"].to_pylist()
+        ):
+            per.setdefault(lang, set()).update(
+                textstats._RE_WORD.findall(text.lower())
+            )
+        langs, words, parts = [], [], []
+        for lang, ws in per.items():
+            for w in ws:
+                langs.append(lang)
+                words.append(w)
+                parts.append(zlib.crc32(w.encode("utf-8")) & 63)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def overlap_part(df):
+        from collections import Counter
+
+        dedup = df.drop_duplicates(["lang", "word"])
+        sizes: Counter = Counter(dedup["lang"])
+        inter: Counter = Counter()
+        for _, grp in dedup.groupby("word", sort=False):
+            ls = sorted(grp["lang"])
+            if len(ls) > 1:
+                inter.update(itertools.combinations(ls, 2))
+        rows = [("\x00size", la, "", int(n)) for la, n in sizes.items()]
+        rows += [
+            ("\x00inter", a, b, int(n)) for (a, b), n in inter.items()
+        ]
+        return pd.DataFrame(
+            rows, columns=["kind", "lang_a", "lang_b", "n"]
+        )
+
+    merged = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(overlap_part, batch_format="pandas")
+        .to_pandas()  # <= 64 x (langs + langs^2) tiny rows
+    )
+    sizes = (
+        merged[merged["kind"] == "\x00size"]
+        .groupby("lang_a")["n"]
+        .sum()
+        .to_dict()
+    )
+    inter = (
+        merged[merged["kind"] == "\x00inter"]
+        .groupby(["lang_a", "lang_b"])["n"]
+        .sum()
+        .to_dict()
+    )
+    out = []
+    for a, b in itertools.combinations(sorted(sizes), 2):
+        i = int(inter.get((a, b), 0))
+        u = int(sizes[a]) + int(sizes[b]) - i
+        out.append(
+            {
+                "lang_a": a,
+                "lang_b": b,
+                "n_common": i,
+                "jaccard": round(i / u, 6) if u else None,
+            }
+        )
+    df = pd.DataFrame(
+        out, columns=["lang_a", "lang_b", "n_common", "jaccard"]
+    )
+    df["n_common"] = df["n_common"].astype("int64")
+    return df
+
+
+SQL_LANG_VOCAB_OVERLAP = r"""
+WITH v AS (
+  SELECT DISTINCT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY lang
+), inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+  COALESCE(i.i, 0) AS n_common,
+  CASE WHEN sa.n + sb.n - COALESCE(i.i, 0) > 0
+       THEN round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                  / (sa.n + sb.n - COALESCE(i.i, 0)), 6)
+       ELSE NULL END AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
+LEFT JOIN inter i ON i.lang_a = sa.lang AND i.lang_b = sb.lang
+"""
+
+
 def q_top_word_per_lang(sf_dir: str):
     """Grouped mode: the most frequent word per language (ties ->
     lexicographically smallest). Word counts reduce through bounded
@@ -6430,6 +6550,7 @@ QUERIES = {
     "len_token_corr": q_len_token_corr,
     "weighted_avg_discount": q_weighted_avg_discount,
     "top_word_per_lang": q_top_word_per_lang,
+    "lang_vocab_overlap": q_lang_vocab_overlap,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6609,6 +6730,7 @@ ORACLE_SQL = {
     "len_token_corr": SQL_LEN_TOKEN_CORR,
     "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
     "top_word_per_lang": SQL_TOP_WORD_PER_LANG,
+    "lang_vocab_overlap": SQL_LANG_VOCAB_OVERLAP,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

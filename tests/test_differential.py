@@ -120,6 +120,7 @@ DIFFERENTIAL_QUERIES = [
     "global_rank",
     "len_token_corr",
     "top_word_per_lang",
+    "lang_vocab_overlap",
     "sentence_split",
     "train_val_split",
     "stratified_sample",
