@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_running_total",
     "events_pivot",
+    "events_gap_fill",
     "funnel_conversion",
     "event_props",
     "route_counts",

@@ -3155,6 +3155,103 @@ FROM r3
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def q_events_gap_fill(sf_dir: str):
+    """Dense time-grid materialization (gap filling): per-user hourly
+    counts over the corpus's FULL hour span, zeros included — the
+    resample-to-regular-grid shape. Hour counts pre-aggregate
+    map-side; the global [lo, hi] span is one tiny min/max; the dense
+    grid materializes INSIDE bounded user-hash partitions (vectorized
+    repeat/tile + indexed scatter — never a driver-side loop, never a
+    users x hours shuffle: only the sparse counts move."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        bucket = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            // 3_600_000_000
+        )
+        g = (
+            df.assign(hour_bucket=bucket)
+            .groupby(["user_id", "hour_bucket"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        g["part"] = (g["user_id"] & 63).astype("int32")
+        return pa.Table.from_pandas(
+            g.astype(
+                {
+                    "user_id": "int64",
+                    "hour_bucket": "int64",
+                    "n_events": "int64",
+                }
+            ),
+            preserve_index=False,
+        )
+
+    sparse = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    bounds = sparse.aggregate(
+        Min("hour_bucket", alias_name="lo"),
+        Max("hour_bucket", alias_name="hi"),
+    )
+    if bounds["lo"] is None:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], "int64"),
+                "hour_bucket": pd.array([], "int64"),
+                "n_events": pd.array([], "int64"),
+            }
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+
+    def fill(df):
+        g = df.groupby(
+            ["user_id", "hour_bucket"], sort=False, as_index=False
+        )["n_events"].sum()
+        users = np.sort(g["user_id"].unique())
+        idx = {int(u): i for i, u in enumerate(users)}
+        dense = np.zeros(len(users) * span, dtype=np.int64)
+        pos = (
+            g["user_id"].map(idx).to_numpy() * span
+            + (g["hour_bucket"].to_numpy() - lo)
+        )
+        dense[pos] = g["n_events"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(users, span),
+                "hour_bucket": np.tile(
+                    np.arange(lo, hi + 1, dtype=np.int64), len(users)
+                ),
+                "n_events": dense,
+            }
+        )
+
+    return sparse.groupby("part").map_groups(fill, batch_format="pandas")
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH c AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM c
+), grid AS (
+  SELECT u.user_id, unnest(range(b.lo, b.hi + 1)) AS h
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN b
+)
+SELECT g.user_id, g.h AS hour_bucket,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.h
+"""
+
+
 def q_events_pivot(sf_dir: str):
     """Pivot: one row per user, one count column per event type (the
     wide-format features table a trainer consumes). Map-side partial
@@ -6551,6 +6648,7 @@ QUERIES = {
     "weighted_avg_discount": q_weighted_avg_discount,
     "top_word_per_lang": q_top_word_per_lang,
     "lang_vocab_overlap": q_lang_vocab_overlap,
+    "events_gap_fill": q_events_gap_fill,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6731,6 +6829,7 @@ ORACLE_SQL = {
     "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
     "top_word_per_lang": SQL_TOP_WORD_PER_LANG,
     "lang_vocab_overlap": SQL_LANG_VOCAB_OVERLAP,
+    "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
