@@ -7,7 +7,7 @@ Ray is initialised by the driver BEFORE this module is imported; no
 * ``entry()``       — flagship extraction pipeline on sf0.001.
 * ``queries()``     — one callable per implemented operator/pipeline
                       (SURVEY.md §2 + training-data ops).
-* ``oracle_sql()``  — DuckDB-equivalent SQL for EVERY query (109/109).
+* ``oracle_sql()``  — DuckDB-equivalent SQL for EVERY query (111/111).
                       The MinHash/SimHash sketches, LSH bucketing,
                       clustering (recursive closure), renderers and
                       the payload byte-accounting (size_class_counts:

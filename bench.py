@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "events_running_total",
     "events_pivot",
     "events_gap_fill",
+    "events_rolling_sum",
+    "events_time_delta",
     "funnel_conversion",
     "event_props",
     "route_counts",

@@ -3155,6 +3155,124 @@ FROM r3
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def q_events_rolling_sum(sf_dir: str):
+    """Bounded window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+    trailing-3-event spend per user — the frame variant of the
+    cumulative window, same bounded user-hash partitions, computed as
+    one cumsum minus its 3-shifted self within user runs. Exact
+    integer cents, so the frame sum is order-proof."""
+    import numpy as np
+    import pandas as pd
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def roll(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        uid = df["user_id"].to_numpy()
+        cents = np.floor(
+            df["value"].to_numpy() * 100.0 + 0.5
+        ).astype("int64")
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], "int64"),
+                    "rolling_cents": pd.array([], "int64"),
+                }
+            )
+        csum = np.cumsum(cents)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        run_start = starts[np.cumsum(new_user) - 1]
+        pos = np.arange(n)
+        # frame start = max(run_start, pos - 2); sum = csum[pos] -
+        # csum[frame_start - 1] (0 before the run)
+        fs = np.maximum(run_start, pos - 2)
+        prev = np.where(fs > 0, csum[np.maximum(fs - 1, 0)], 0)
+        prev[fs == 0] = 0
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "rolling_cents": csum - prev,
+            }
+        )
+
+    return (
+        events.map_batches(relational.add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_ROLLING_SUM = """
+SELECT event_id,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS rolling_cents
+FROM events
+"""
+
+
+def q_events_time_delta(sf_dir: str):
+    """lead/lag window: microseconds since the user's previous event
+    (NULL for the first) — one vectorized diff over sorted user runs
+    inside bounded partitions."""
+    import numpy as np
+    import pandas as pd
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def delta(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        uid = df["user_id"].to_numpy()
+        ts_us = (
+            df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        n = len(df)
+        out = np.zeros(n, dtype="int64")
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = uid[1:] != uid[:-1]
+            out[1:] = ts_us[1:] - ts_us[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "delta_us": pd.array(
+                    [None if f else int(d) for f, d in zip(first, out)],
+                    "Int64",
+                ),
+            }
+        )
+
+    return (
+        events.map_batches(relational.add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(delta, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_TIME_DELTA = """
+SELECT event_id,
+  CAST(epoch_us(ts) - lag(epoch_us(ts))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS BIGINT) AS delta_us
+FROM events
+"""
+
+
 def q_events_gap_fill(sf_dir: str):
     """Dense time-grid materialization (gap filling): per-user hourly
     counts over the corpus's FULL hour span, zeros included — the
@@ -6649,6 +6767,8 @@ QUERIES = {
     "top_word_per_lang": q_top_word_per_lang,
     "lang_vocab_overlap": q_lang_vocab_overlap,
     "events_gap_fill": q_events_gap_fill,
+    "events_rolling_sum": q_events_rolling_sum,
+    "events_time_delta": q_events_time_delta,
     "warc_extract": q_warc_extract,
     "wet_roundtrip": q_wet_roundtrip,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -6830,6 +6950,8 @@ ORACLE_SQL = {
     "top_word_per_lang": SQL_TOP_WORD_PER_LANG,
     "lang_vocab_overlap": SQL_LANG_VOCAB_OVERLAP,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
+    "events_rolling_sum": SQL_EVENTS_ROLLING_SUM,
+    "events_time_delta": SQL_EVENTS_TIME_DELTA,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
