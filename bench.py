@@ -281,6 +281,15 @@ def main() -> None:
         default=int(os.environ.get("GRAFT_BENCH_REPEAT", "512")),
         help="deterministic corpus amplification for scaling runs",
     )
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH",
+            "RESULTS_last.json",
+        ),
+        help="file for the FULL per-query timing map (default mode)",
+    )
     args = ap.parse_args()
 
     if args.headline_only:
@@ -288,7 +297,30 @@ def main() -> None:
     elif args.scaling:
         print(json.dumps(run_scaling(SF_DIR, args.lo, args.hi, args.repeat)))
     else:
-        print(json.dumps(run_default(SF_DIR, NUM_CPUS, BENCH_QUERIES)))
+        out = run_default(SF_DIR, NUM_CPUS, BENCH_QUERIES)
+        # The full ~110-entry per-query map overflowed the driver's
+        # stdout tail capture in round 3 (BENCH_r03.json parsed:null).
+        # Write the full map to --out; keep the stdout line compact:
+        # summary fields + headline + the 9 slowest queries.
+        try:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        timings = out["queries"]
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:9]
+        )
+        if HEADLINE in timings:
+            slowest[HEADLINE] = timings[HEADLINE]
+        compact = dict(
+            out,
+            queries=slowest,
+            n_queries=len(timings),
+            queries_full_path=args.out,
+        )
+        print(json.dumps(compact))
 
 
 if __name__ == "__main__":

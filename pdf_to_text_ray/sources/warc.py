@@ -59,7 +59,12 @@ WARC_FORMAT_VERSION = 1
 
 
 def _warc_date(ts_us: int) -> str:
-    return datetime.utcfromtimestamp(ts_us / 1_000_000).strftime(_DATE_FMT)
+    # integer arithmetic off _EPOCH (mirrors _parse_date_us): exact at
+    # any magnitude, and avoids the deprecated utcfromtimestamp plus
+    # the ~1 us float rounding of ts_us / 1e6 on large timestamps
+    from datetime import timedelta
+
+    return (_EPOCH + timedelta(microseconds=ts_us)).strftime(_DATE_FMT)
 
 
 def _parse_date_us(s: str) -> int:

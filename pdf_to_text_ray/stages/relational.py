@@ -168,12 +168,12 @@ def _funnel_partition(df: pd.DataFrame) -> pd.DataFrame:
     m_sign = ev == "signup"
     su, st = uid[m_sign], ts_us[m_sign]
     if not len(su):
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": pd.array([], "int64"),
-                "signup_ts_us": pd.array([], "int64"),
-                "purchase_ts_us": pd.array([], "Int64"),
-                "converted": pd.array([], "boolean"),
+                "user_id": pa.array([], pa.int64()),
+                "signup_ts_us": pa.array([], pa.int64()),
+                "purchase_ts_us": pa.array([], pa.int64()),
+                "converted": pa.array([], pa.bool_()),
             }
         )
     first_s = np.empty(len(su), dtype=bool)
@@ -196,14 +196,15 @@ def _funnel_partition(df: pd.DataFrame) -> pd.DataFrame:
         ppos = np.searchsorted(s_users, vu[first_p])
         p0[ppos] = vt[first_p]
         has_p[ppos] = True
-    return pd.DataFrame(
+    # Arrow int64/bool with a null mask, not pandas "Int64"/"boolean"
+    # masked extension dtypes: extension arrays hash-canonicalize
+    # differently from Arrow nullable columns downstream.
+    return pa.table(
         {
-            "user_id": pd.array(s_users, "int64"),
-            "signup_ts_us": pd.array(s0, "int64"),
-            "purchase_ts_us": pd.array(
-                [int(v) if h else None for v, h in zip(p0, has_p)], "Int64"
-            ),
-            "converted": pd.array(has_p, "boolean"),
+            "user_id": pa.array(s_users, pa.int64()),
+            "signup_ts_us": pa.array(s0, pa.int64()),
+            "purchase_ts_us": pa.array(p0, pa.int64(), mask=~has_p),
+            "converted": pa.array(has_p, pa.bool_()),
         }
     )
 
@@ -440,9 +441,172 @@ def make_range_join_partials(
 
 PAGERANK_SCALE = 1_000_000
 PAGERANK_ITERS = 3
+# Driver/broadcast budget for the node table: (node, outdeg, rank) is
+# 24 bytes/node, so 128 MiB covers ~5.6M nodes. Beyond it the dense
+# driver-merged reduce would OOM the driver, so pagerank() switches to
+# the hash-partitioned all-to-all path — same integer semantics,
+# shuffle cost (mirrors the measured-budget regimes in dedup.py).
+PAGERANK_NODE_BUDGET_BYTES = 128 << 20
+_PR_PARTS = 64
 
 
-def pagerank(edges: ray.data.Dataset, iters: int = PAGERANK_ITERS):
+def _pagerank_distributed(
+    edges: ray.data.Dataset, iters: int
+) -> ray.data.Dataset:
+    """Beyond-broadcast PageRank: the node state (node, outdeg, rank)
+    stays a hash-partitioned Dataset; each iteration is two bounded
+    ``groupby(part)`` exchanges (co-group contrib with edges on src,
+    then merge per-dst inflow partials back onto the node state).
+    Bit-identical to the dense path — every op is positive-operand
+    integer arithmetic, so partial-sum order can't change the result
+    (pinned by tests/test_relational.py's path-equality test)."""
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        return pa.table(
+            {
+                "key": batch["src"],
+                "kind": pa.array(np.ones(len(src), np.int64)),
+                "v1": batch["dst"],
+                "part": pa.array(src & (_PR_PARTS - 1), pa.int64()),
+            }
+        )
+
+    # one materialization; re-read every iteration's co-group
+    edges_keyed = edges.map_batches(
+        edge_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["src"].to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {
+                "node": pa.array(vals, pa.int64()),
+                "outdeg": pa.array(counts, pa.int64()),
+                "part": pa.array(vals & (_PR_PARTS - 1), pa.int64()),
+            }
+        )
+
+    def deg_merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", sort=True)["outdeg"].sum()
+        nodes = g.index.to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "outdeg": pa.array(g.to_numpy(), pa.int64()),
+                "rank": pa.array(
+                    np.full(len(nodes), PAGERANK_SCALE), pa.int64()
+                ),
+                "part": pa.array(nodes & (_PR_PARTS - 1), pa.int64()),
+            }
+        )
+
+    state = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(deg_merge, batch_format="pandas")
+        .materialize()
+    )
+    base = (15 * PAGERANK_SCALE) // 100
+
+    def contrib_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["node"],
+                "kind": pa.array(
+                    np.zeros(batch.num_rows, np.int64)
+                ),
+                "v1": pa.array(
+                    batch["rank"].to_numpy()
+                    // batch["outdeg"].to_numpy(),
+                    pa.int64(),
+                ),
+                "part": batch["part"],
+            }
+        )
+
+    def flow_group(df: pd.DataFrame) -> pa.Table:
+        # kind 0: (node, contrib); kind 1: (src, dst) — co-located by
+        # hash(src). Emit per-dst inflow PARTIALS (kind 1, keyed for
+        # the next exchange by hash(dst)).
+        kind = df["kind"].to_numpy()
+        k0, k1 = df[kind == 0], df[kind == 1]
+        nodes = k0["key"].to_numpy()
+        order = np.argsort(nodes, kind="mergesort")
+        nodes, contrib = nodes[order], k0["v1"].to_numpy()[order]
+        dst = k1["v1"].to_numpy()
+        c = contrib[np.searchsorted(nodes, k1["key"].to_numpy())]
+        ud, inv = np.unique(dst, return_inverse=True)
+        flow = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(flow, inv, c)
+        return pa.table(
+            {
+                "key": pa.array(ud, pa.int64()),
+                "kind": pa.array(np.ones(len(ud), np.int64)),
+                "v1": pa.array(flow, pa.int64()),
+                "part": pa.array(ud & (_PR_PARTS - 1), pa.int64()),
+            }
+        )
+
+    def state_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["node"],
+                "kind": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "v1": batch["outdeg"],
+                "part": batch["part"],
+            }
+        )
+
+    def rank_group(df: pd.DataFrame) -> pa.Table:
+        # kind 0: (node, outdeg); kind 1: per-dst inflow partials.
+        kind = df["kind"].to_numpy()
+        k0, k1 = df[kind == 0], df[kind == 1]
+        nodes = k0["key"].to_numpy()
+        order = np.argsort(nodes, kind="mergesort")
+        nodes, outdeg = nodes[order], k0["v1"].to_numpy()[order]
+        inflow = np.zeros(len(nodes), dtype=np.int64)
+        if len(k1):
+            np.add.at(
+                inflow,
+                np.searchsorted(nodes, k1["key"].to_numpy()),
+                k1["v1"].to_numpy(),
+            )
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "outdeg": pa.array(outdeg, pa.int64()),
+                "rank": pa.array(
+                    base + (85 * inflow) // 100, pa.int64()
+                ),
+                "part": pa.array(nodes & (_PR_PARTS - 1), pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        flows = (
+            state.map_batches(contrib_rows, batch_format="pyarrow")
+            .union(edges_keyed)
+            .groupby("part")
+            .map_groups(flow_group, batch_format="pandas")
+        )
+        state = (
+            state.map_batches(state_rows, batch_format="pyarrow")
+            .union(flows)
+            .groupby("part")
+            .map_groups(rank_group, batch_format="pandas")
+            .materialize()
+        )
+    return state.select_columns(["node", "rank"])
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iters: int = PAGERANK_ITERS,
+    node_budget_bytes: int = PAGERANK_NODE_BUDGET_BYTES,
+):
     """Integer PageRank over a symmetric edge Dataset (src, dst):
     rank' = (15*SCALE)//100 + (85 * sum(rank[src] // outdeg[src])) // 100.
 
@@ -451,21 +615,23 @@ def pagerank(edges: ray.data.Dataset, iters: int = PAGERANK_ITERS):
     unrolled SQL oracle) — no float damping factor to drift.
 
     Distribution shape: the EDGE set streams; the NODE table (node,
-    outdeg, rank) is the reduced side — BY ASSUMPTION within broadcast
-    budget (the same regime as the as-of/range lookups). That
-    assumption buys the big win: per iteration each edge block reduces
+    outdeg, rank) is the reduced side. Its size is MEASURED before the
+    driver ever collects it: the per-block degree-partial row count is
+    an upper bound on the distinct-node count, and if 24 bytes x that
+    bound exceeds ``node_budget_bytes`` the computation switches to
+    ``_pagerank_distributed`` (hash-partitioned groupby exchanges, same
+    integer semantics, all-to-all cost — and a Dataset result, since a
+    beyond-budget node table must not land on the driver). Within
+    budget, the fast path runs: per iteration each edge block reduces
     to ONE dense int64 inflow vector over the node universe (8 bytes x
     nodes per block) and the driver sums those vectors — integer
     addition commutes, so this is exact — replacing a nodes-sized
     all-to-all ``groupby(dst)`` per iteration with a blocks-sized
     ``take_all`` (measured 4 s/iter -> ~0.3 s/iter at sf0.1). Degree
-    counting uses the same dense per-block reduce. For node tables
-    beyond broadcast budget, swap back to hash-partitioned
-    ``groupby(dst).sum`` partials per iteration — same semantics,
-    all-to-all cost.
+    counting uses the same dense per-block reduce.
 
-    Returns (node, rank) as a small driver-side Arrow table (nodes =
-    the reduced result, the thing PageRank exists to produce).
+    Returns (node, rank): a small driver-side Arrow table on the dense
+    path, a Dataset on the distributed path.
     """
     edges = edges.materialize()  # consumed once per iteration + degree
 
@@ -482,9 +648,17 @@ def pagerank(edges: ray.data.Dataset, iters: int = PAGERANK_ITERS):
             }
         )
 
+    deg_partials = edges.map_batches(
+        deg_partial, batch_format="pyarrow"
+    ).materialize()
+    # partial rows >= distinct nodes (each block lists its unique
+    # srcs), so this gate is conservative: it can only overestimate
+    # the node table, never under-admit it to the driver
+    if deg_partials.count() * 24 > node_budget_bytes:
+        return _pagerank_distributed(edges, iters)
+
     deg = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .to_pandas()
+        deg_partials.to_pandas()
         .groupby("src", sort=True)["n"]
         .sum()
     )

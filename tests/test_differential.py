@@ -36,7 +36,7 @@ sys.path.insert(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
     ),
 )
-from check_oracle import compare, to_pandas  # noqa: E402
+from check_oracle import _arrow_exact_df, compare, to_pandas  # noqa: E402
 
 from pdf_to_text_ray.pipelines.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
@@ -241,7 +241,7 @@ def _check(name: str, sf_dir: str) -> None:
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    exp = con.sql(ORACLE_SQL[name]).df()
+    exp = _arrow_exact_df(con.sql(ORACLE_SQL[name]).arrow())
     problems = compare(name, got, exp)
     assert not problems, f"{name}: " + "; ".join(problems[:3])
 
@@ -270,7 +270,17 @@ def _random_events(seed: int, n: int = 400) -> pa.Table:
         rows.append(
             (
                 i,
-                base + timedelta(seconds=rng.randint(0, 6 * 86400)),
+                # sub-second (microsecond) timestamps, biased so some
+                # land within 1 us of an hour boundary — exercises the
+                # exact-int64 // bucketing the oracles now use (a
+                # double floor(epoch/3600) can flip these buckets)
+                base
+                + timedelta(
+                    seconds=rng.randint(0, 6 * 86400),
+                    microseconds=rng.choice(
+                        [0, 1, 999_999, rng.randint(0, 999_999)]
+                    ),
+                ),
                 rng.randint(1, 25),
                 rng.choice(["signup", "click", "error", "view", "purchase"]),
                 round(rng.uniform(0, 50), 2),
@@ -354,7 +364,7 @@ def _check_table(name: str, sf_dir: str, table: str) -> None:
         f"CREATE VIEW {table} AS SELECT * FROM "
         f"read_parquet('{sf_dir}/{table}.parquet')"
     )
-    exp = con.sql(ORACLE_SQL[name]).df()
+    exp = _arrow_exact_df(con.sql(ORACLE_SQL[name]).arrow())
     problems = compare(name, got, exp)
     assert not problems, f"{name}: " + "; ".join(problems[:3])
 
@@ -583,7 +593,7 @@ def test_relational_query_matches_oracle_on_random_warehouse(
             f"CREATE VIEW {tbl} AS SELECT * FROM "
             f"read_parquet('{fuzz_rel_dir}/{tbl}.parquet')"
         )
-    exp = con.sql(ORACLE_SQL[name]).df()
+    exp = _arrow_exact_df(con.sql(ORACLE_SQL[name]).arrow())
     problems = compare(name, got, exp)
     assert not problems, f"{name}: " + "; ".join(problems[:3])
 

@@ -84,7 +84,7 @@ def test_funnel_partition_vectorized_semantics():
     df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]).astype(
         {"user_id": "int64"}
     )
-    out = relational._funnel_partition(df).set_index("user_id")
+    out = relational._funnel_partition(df).to_pandas().set_index("user_id")
     us = int(T0.timestamp() * 1_000_000)
     assert sorted(out.index) == [1, 2, 4]
     assert bool(out.loc[1, "converted"]) is True
@@ -395,3 +395,56 @@ def test_running_total_exact_half_cent_rounds_up():
     )
     out = relational._running_total_partition(df)
     assert out["running_cents"].tolist() == [13]
+
+
+def _random_symmetric_edges(seed: int, n_nodes: int = 40, n_edges: int = 120):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < n_edges:
+        a, b = rng.randint(1, n_nodes), rng.randint(1, n_nodes)
+        if a != b:
+            pairs.add((a, b))
+            pairs.add((b, a))
+    src, dst = map(np.int64, zip(*sorted(pairs)))
+    return pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_pagerank_distributed_path_matches_dense(seed):
+    """The beyond-budget hash-partitioned path must be bit-identical to
+    the dense driver-merged path (integer arithmetic commutes), on a
+    random symmetric graph and under different block layouts."""
+    tbl = _random_symmetric_edges(seed)
+    dense = {
+        r["node"]: r["rank"]
+        for r in relational.pagerank(ray.data.from_arrow(tbl)).to_pylist()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in relational._pagerank_distributed(
+            ray.data.from_arrow(tbl).repartition(5), relational.PAGERANK_ITERS
+        ).take_all()
+    }
+    assert dist == dense
+
+
+def test_pagerank_budget_gate_switches_to_distributed():
+    """node_budget_bytes=0 must route through the distributed path — a
+    Dataset result, never a driver-side node table — with the same
+    values; the default budget keeps the dense Arrow-table fast path."""
+    tbl = _random_symmetric_edges(7)
+    gated = relational.pagerank(
+        ray.data.from_arrow(tbl), node_budget_bytes=0
+    )
+    assert isinstance(gated, ray.data.Dataset)
+    dense = relational.pagerank(ray.data.from_arrow(tbl))
+    assert isinstance(dense, pa.Table)
+    assert {
+        (r["node"], r["rank"]) for r in gated.take_all()
+    } == set(zip(dense["node"].to_pylist(), dense["rank"].to_pylist()))

@@ -16,25 +16,59 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _arrow_exact_df(tbl) -> pd.DataFrame:
+    """Arrow table -> pandas with EXACT integer semantics: int columns
+    stay int64 (null-bearing ones become object of int|None, never
+    float64 — a float64 coercion loses exactness above 2^53 and papers
+    over dtype drift between the engine and the oracle). Decimals (how
+    DuckDB's .arrow() surfaces HUGEINT/DECIMAL aggregates) cast to
+    float64 to match the engine's float outputs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        t = col.type
+        if pa.types.is_decimal(t):
+            col = pc.cast(col, pa.float64())
+            t = col.type
+        if pa.types.is_integer(t):
+            col = pc.cast(col, pa.int64())
+            if col.null_count:
+                cols[name] = pd.Series(col.to_pylist(), dtype=object)
+            else:
+                cols[name] = pd.Series(
+                    col.to_numpy(zero_copy_only=False)
+                )
+        elif pa.types.is_boolean(t) and col.null_count:
+            cols[name] = pd.Series(col.to_pylist(), dtype=object)
+        else:
+            cols[name] = col.to_pandas()
+    return pd.DataFrame(cols) if cols else pd.DataFrame()
+
+
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
 
+    import ray
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        df = res.to_pandas()
-        if df.shape[1] == 0:
-            # an all-empty Dataset loses its schema through to_pandas;
-            # rebuild the empty frame with the declared column names so
-            # a legitimate 0-row result still column-matches the oracle
+        blocks = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            # an all-empty Dataset loses its rows; rebuild the empty
+            # frame with the declared column names so a legitimate
+            # 0-row result still column-matches the oracle
             sch = res.schema(fetch_if_missing=True)
-            if sch is not None:
-                df = pd.DataFrame(
-                    {n: pd.Series(dtype="object") for n in sch.names}
-                )
-        return df
+            return pd.DataFrame(
+                {n: pd.Series(dtype="object") for n in (sch.names if sch else [])}
+            )
+        res = pa.concat_tables(blocks, promote_options="permissive")
+    if isinstance(res, pd.DataFrame):
+        res = pa.Table.from_pandas(res, preserve_index=False)
     if isinstance(res, pa.Table):
-        return res.to_pandas()
+        return _arrow_exact_df(res)
     return res
 
 
@@ -42,27 +76,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         dt = str(df[c].dtype)
-        # pandas nullable extension dtypes (Int64/Float64/boolean, as
-        # produced by Arrow columns with nulls) -> plain numpy dtypes
-        # so they compare against DuckDB's float64/bool output
+        # pandas nullable extension dtypes should never reach here any
+        # more (_arrow_exact_df normalizes both sides); keep a lossless
+        # object fallback so drift is VISIBLE as a value mismatch, not
+        # silently float64-coerced away
         if dt in (
             "Int64", "Int32", "Int16", "Int8",
             "UInt64", "UInt32", "UInt16", "UInt8",
-            "Float64", "Float32",
+            "Float64", "Float32", "boolean",
         ):
-            df[c] = (
-                df[c].astype("float64")
-                if df[c].isna().any() or dt.startswith("Float")
-                else df[c].astype("int64")
-            )
-        elif dt == "boolean":
-            df[c] = (
-                # pd.NA would stringify '<NA>' while DuckDB nulls
-                # stringify 'None' — normalize NA -> None first
-                df[c].astype(object).where(df[c].notna(), None)
-                if df[c].isna().any()
-                else df[c].astype("bool")
-            )
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         # uniform numeric widths
@@ -130,7 +153,7 @@ def main():
             print(f"ok   {name} (rows-only: {len(got)} rows)")
             continue
         try:
-            exp = con.sql(oracles[name]).df()
+            exp = _arrow_exact_df(con.sql(oracles[name]).arrow())
         except Exception as ex:
             failed.append(name)
             print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}")
