@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "parts_no_early_shipment",
     "supplier_revenue",
+    "skyline",
     "weighted_avg_discount",
     "pagerank",
     "extraction_metrics",
@@ -69,6 +70,7 @@ BENCH_QUERIES = [
     "embedding_near_dups_lsh",
     "kmeans_clusters",
     "embedding_gram",
+    "embedding_quantize",
     "events_hourly",
     "events_sliding",
     "events_sessionize",
@@ -79,6 +81,9 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "events_rolling_sum",
     "events_time_delta",
+    "markov_transitions",
+    "interval_coverage",
+    "running_distinct",
     "funnel_conversion",
     "event_props",
     "route_counts",
@@ -112,6 +117,7 @@ BENCH_QUERIES = [
     "doclen_zscore",
     "global_rank",
     "len_token_corr",
+    "lang_regression",
     "top_word_per_lang",
     "lang_vocab_overlap",
     "top_words",

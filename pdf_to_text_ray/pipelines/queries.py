@@ -2288,7 +2288,7 @@ def q_join_orders_segment(sf_dir: str):
 SQL_JOIN_ORDERS_SEGMENT = """
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -2344,7 +2344,7 @@ def q_revenue_by_region(sf_dir: str):
         pos_c = _np.minimum(pos, len(keys) - 1)
         found = keys[pos_c] == ck
         cents = pc.cast(
-            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], pa.scalar(100.0)), pa.scalar(0.5))),
             pa.int64(),
         ).to_numpy()
         sub = _np.nonzero(found)[0]
@@ -2388,18 +2388,22 @@ def q_pricing_summary(sf_dir: str):
             pc.cast(t["l_shipdate"], pa.int64()), pa.scalar(cutoff_us)
         )
         t = t.filter(keep)
-        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
-        cents = pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
-            pa.int64(),
-        )
-        dpct = pc.cast(
-            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
-            pa.int64(),
-        )
-        tpct = pc.cast(
-            pc.round(pc.multiply(t["l_tax"], pa.scalar(100.0))), pa.int64()
-        )
+        # floor(x + 0.5), NOT pc.round: pyarrow/np round is
+        # half-to-even while DuckDB round() is half-away — they
+        # disagree at exact .5 (caught by the lineitem differential
+        # fuzz). floor(x+0.5) on the non-negative domain is identical
+        # in both engines (the repo-wide cents convention).
+        def _half_up(col, scale=None):
+            if scale is not None:
+                col = pc.multiply(col, pa.scalar(scale))
+            return pc.cast(
+                pc.floor(pc.add(col, pa.scalar(0.5))), pa.int64()
+            )
+
+        qty = _half_up(t["l_quantity"])
+        cents = _half_up(t["l_extendedprice"], 100.0)
+        dpct = _half_up(t["l_discount"], 100.0)
+        tpct = _half_up(t["l_tax"], 100.0)
         disc_units = pc.multiply(cents, pc.subtract(pa.scalar(100), dpct))
         charge_units = pc.multiply(
             disc_units, pc.add(pa.scalar(100), tpct)
@@ -2572,11 +2576,11 @@ def q_weighted_avg_discount(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pc.floor(pc.add(pc.multiply(t["l_extendedprice"], pa.scalar(100.0)), pa.scalar(0.5))),
             pa.int64(),
         )
         bp = pc.cast(
-            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pc.floor(pc.add(pc.multiply(t["l_discount"], pa.scalar(100.0)), pa.scalar(0.5))),
             pa.int64(),
         )
         w = pc.multiply_checked(cents, bp)
@@ -2618,10 +2622,10 @@ def q_weighted_avg_discount(sf_dir: str):
 SQL_WEIGHTED_AVG_DISCOUNT = """
 WITH m AS (
   SELECT l_returnflag,
-    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
       AS num,
-    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
       AS den
   FROM lineitem GROUP BY l_returnflag
 )
@@ -2863,11 +2867,11 @@ def q_supplier_revenue(sf_dir: str):
         pos = _np.minimum(_np.searchsorted(skeys, sk), len(skeys) - 1)
         found = skeys[pos] == sk
         cents = pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pc.floor(pc.add(pc.multiply(t["l_extendedprice"], pa.scalar(100.0)), pa.scalar(0.5))),
             pa.int64(),
         )
         dpct = pc.cast(
-            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pc.floor(pc.add(pc.multiply(t["l_discount"], pa.scalar(100.0)), pa.scalar(0.5))),
             pa.int64(),
         )
         units = pc.multiply(cents, pc.subtract(pa.scalar(100), dpct)).to_numpy()
@@ -2896,8 +2900,8 @@ def q_supplier_revenue(sf_dir: str):
 SQL_SUPPLIER_REVENUE = """
 SELECT s.s_name,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
             AS BIGINT) AS revenue_units
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_name
@@ -2917,20 +2921,20 @@ WHERE NOT EXISTS (
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
     AS sum_base_cents,
-  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
     AS sum_disc_units,
-  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))
-           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT)
     AS sum_charge_units,
-  sum(CAST(round(l_quantity) AS BIGINT)) / count(*) AS avg_qty,
-  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*)
+  sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) / count(*) AS avg_qty,
+  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / count(*)
     AS avg_price_cents,
-  sum(CAST(round(l_discount * 100) AS BIGINT)) / count(*) AS avg_disc_pct,
+  sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / count(*) AS avg_disc_pct,
   CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2941,7 +2945,7 @@ GROUP BY l_returnflag, l_linestatus
 SQL_REVENUE_BY_REGION = """
 SELECT r.r_name,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -4279,7 +4283,7 @@ def q_event_props(sf_dir: str):
             pa.int64(),
         )
         cents = pc.cast(
-            pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+            pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), pa.scalar(0.5))), pa.int64()
         )
         flat = pa.table(
             {"event_type": t["event_type"], "k": ks, "cents": cents}
@@ -4313,7 +4317,7 @@ SQL_EVENT_PROPS = """
 SELECT event_type,
   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT)
     AS sum_k,
-  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
   CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
 """
@@ -6748,6 +6752,346 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 """
 
 
+# ------------------------------------------------ round-4 additions
+
+
+def q_markov_transitions(sf_dir: str):
+    """Event-type transition matrix (first-order Markov counts): for
+    every user, count consecutive (prev_type -> type) pairs in (ts,
+    event_id) order. Scale shape: users hash into bounded partitions
+    (relational.markov_transitions), each partition reduces to at most
+    type-vocab^2 partial rows, and the final merge is one single-block
+    pass over 64 tiny partials — the event stream itself never
+    shuffles by pair key."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return relational.markov_transitions(ds)
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval-union coverage: every event opens a 15-minute
+    [ts, ts+W) activity window; overlapping/touching windows merge and
+    the total covered microseconds per user is summed (the
+    gaps-and-islands shape). Bounded user-hash partitions, all-int64
+    arithmetic — exact against the SQL islands formulation."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return relational.interval_coverage(ds)
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max_e
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+), grp AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s
+           ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM isl
+)
+SELECT user_id, CAST(sum(mx - mn) AS BIGINT) AS covered_us FROM (
+  SELECT user_id, island_id, min(s) AS mn, max(e) AS mx
+  FROM grp GROUP BY user_id, island_id
+) GROUP BY user_id
+"""
+
+
+def q_running_distinct(sf_dir: str):
+    """Per-event running DISTINCT-type count per user (inclusive) —
+    the windowed count(DISTINCT) SQL window functions cannot express;
+    the oracle is the correlated-subquery definition. Bounded
+    user-hash partitions; within each, one duplicated() pass marks
+    first occurrences and a boundary-rebased cumsum counts them."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return relational.running_distinct(ds)
+
+
+SQL_RUNNING_DISTINCT = """
+SELECT e.event_id,
+  (SELECT CAST(count(DISTINCT e2.event_type) AS BIGINT) FROM events e2
+    WHERE e2.user_id = e.user_id
+      AND (e2.ts < e.ts
+           OR (e2.ts = e.ts AND e2.event_id <= e.event_id))
+  ) AS n_distinct_types
+FROM events e
+"""
+
+
+def q_skyline(sf_dir: str):
+    """Pareto frontier (skyline) of lineitem on (quantity max,
+    discount max): rows no other row dominates. Scale shape: skyline
+    is union-compatible — skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B)) — so every block prunes LOCALLY first (an O(n log n)
+    suffix-max pass, relational.pareto_keep) and only the tiny
+    per-block frontiers reach the final single-block prune; the table
+    never shuffles and nothing corpus-sized is centralized. Values
+    quantized to exact ints (cents / basis points) so dominance
+    ties are bit-identical to the SQL formulation."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        qty_c = np.floor(
+            t["l_quantity"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        disc_bp = np.floor(
+            t["l_discount"].to_numpy() * 10000.0 + 0.5
+        ).astype(np.int64)
+        keep = relational.pareto_keep(qty_c, disc_bp)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    t["l_orderkey"].to_numpy()[keep], pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    t["l_linenumber"].to_numpy()[keep].astype(np.int32),
+                    pa.int32(),
+                ),
+                "qty_c": pa.array(qty_c[keep], pa.int64()),
+                "disc_bp": pa.array(disc_bp[keep], pa.int64()),
+            }
+        )
+
+    def prune_final(t: pa.Table) -> pa.Table:
+        keep = relational.pareto_keep(
+            t["qty_c"].to_numpy(), t["disc_bp"].to_numpy()
+        )
+        return t.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(prune_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# mirror of the engine algorithm (per-coordinate strict-suffix maxima),
+# not a quadratic NOT EXISTS: dominated iff some strictly-greater qty
+# group reaches its disc, or some strictly-greater disc group reaches
+# its qty. Both quantities are non-negative, so -1 is a safe floor.
+SQL_SKYLINE = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp
+  FROM lineitem
+), s1 AS (
+  SELECT qty_c, max(md) OVER (ORDER BY qty_c DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_disc_gt
+  FROM (SELECT qty_c, max(disc_bp) AS md FROM t GROUP BY qty_c)
+), s2 AS (
+  SELECT disc_bp, max(mq) OVER (ORDER BY disc_bp DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_qty_gt
+  FROM (SELECT disc_bp, max(qty_c) AS mq FROM t GROUP BY disc_bp)
+)
+SELECT t.l_orderkey, t.l_linenumber, t.qty_c, t.disc_bp
+FROM t JOIN s1 USING (qty_c) JOIN s2 USING (disc_bp)
+WHERE coalesce(s1.mx_disc_gt, -1) < t.disc_bp
+  AND coalesce(s2.mx_qty_gt, -1) < t.qty_c
+"""
+
+
+def q_lang_regression(sf_dir: str):
+    """Per-language OLS fit of whitespace-token count on n_chars —
+    the grouped-regression shape: ONE map pass reduces each batch to
+    five exact integer moments PER LANG (n, sx, sy, sxx, sxy), the
+    lang-keyed partials (a handful of rows per block) merge on the
+    driver, and slope/intercept derive from the same explicit float
+    expression on both sides (6-dp rounded). Nothing corpus-sized
+    moves."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "x": t["n_chars"].to_numpy().astype(object),
+                "y": np.array(
+                    [
+                        len(textstats._RE_TOKEN.findall(s))
+                        for s in t["text"].to_pylist()
+                    ],
+                    dtype=object,
+                ),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("lang", sort=False)
+        agg = g.agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"),
+        ).reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                **{
+                    c: pa.array(
+                        [int(v) for v in agg[c]], pa.int64()
+                    )
+                    for c in ("n", "sx", "sy", "sxx", "sxy")
+                },
+            }
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", sort=True)
+        .sum()
+    )
+    langs, slopes, intercepts, ns = [], [], [], []
+    for lang, r in m.iterrows():
+        n, sx, sy, sxx, sxy = (
+            int(r["n"]), int(r["sx"]), int(r["sy"]),
+            int(r["sxx"]), int(r["sxy"]),
+        )
+        den = n * sxx - sx * sx
+        langs.append(lang)
+        ns.append(n)
+        if den > 0:
+            slopes.append(round((n * sxy - sx * sy) / den, 6))
+            intercepts.append(round((sy * sxx - sx * sxy) / den, 6))
+        else:
+            slopes.append(None)
+            intercepts.append(None)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array(ns, pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(intercepts, pa.float64()),
+        }
+    )
+
+
+SQL_LANG_REGRESSION = r"""
+WITH m AS (
+  SELECT lang, count(*) AS n,
+    CAST(sum(n_chars) AS BIGINT) AS sx,
+    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sy,
+    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+    CAST(sum(n_chars * len(regexp_extract_all(text, '\S+')))
+         AS BIGINT) AS sxy
+  FROM documents GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+  CASE WHEN n * sxx - sx * sx > 0
+       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       ELSE NULL END AS slope,
+  CASE WHEN n * sxx - sx * sx > 0
+       THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       ELSE NULL END AS intercept
+FROM m
+"""
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector int8 symmetric quantization (the
+    embedding-compression step before an ANN index ships): scale each
+    vector by 127/max|x| and round half-up; all-zero vectors quantize
+    to zeros. Pure map — embarrassingly parallel, one pass, exploded
+    to (vec_id, dim, q) rows map-side. Exactness: |x| and max are
+    rounding-free in both engines, and both sides evaluate the SAME
+    double expression floor(x*127/m + 0.5), so quantized codes are
+    bit-identical."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quant(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        offs = emb.offsets.to_numpy()
+        lens = np.diff(offs)
+        vec_id = np.repeat(t["vec_id"].to_numpy(), lens)
+        dim = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], lens
+        )
+        m = np.zeros(len(lens), dtype=np.float64)
+        np.maximum.at(
+            m, np.repeat(np.arange(len(lens)), lens), np.abs(flat)
+        )
+        mrep = np.repeat(m, lens)
+        q = np.zeros(len(flat), dtype=np.int64)
+        nz = mrep > 0.0
+        q[nz] = np.floor(flat[nz] * 127.0 / mrep[nz] + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_id, pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "q": pa.array(q, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, y -> abs(y))) AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+       CASE WHEN mx = 0 THEN 0
+            ELSE CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 127.0
+                            / CAST(mx AS DOUBLE) + 0.5) AS BIGINT)
+       END AS q
+FROM m
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -6764,6 +7108,14 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "text_windows": q_text_windows,
     "train_val_split": q_train_val_split,
+    # --- round-4 additions (newest least-proven ops, also in the
+    # sampled prefix) ---
+    "markov_transitions": q_markov_transitions,
+    "interval_coverage": q_interval_coverage,
+    "running_distinct": q_running_distinct,
+    "skyline": q_skyline,
+    "lang_regression": q_lang_regression,
+    "embedding_quantize": q_embedding_quantize,
     # --- round-3 additions next (newest least-proven ops) ---
     "events_range_join": q_events_range_join,
     "hll_distinct": q_hll_distinct,
@@ -6879,6 +7231,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "markov_transitions": SQL_MARKOV_TRANSITIONS,
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "running_distinct": SQL_RUNNING_DISTINCT,
+    "skyline": SQL_SKYLINE,
+    "lang_regression": SQL_LANG_REGRESSION,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "warc_extract": SQL_WARC_EXTRACT,
     "wet_roundtrip": SQL_WET_ROUNDTRIP,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,

@@ -59,9 +59,16 @@ def orders_by_segment(
     )
 
     def to_cents(t: pa.Table) -> pa.Table:
+        # floor(x*100 + 0.5), not round(): pyarrow rounds half-even,
+        # DuckDB half-away — the floor form matches at exact .5 cents
         cents = pa.compute.cast(
-            pa.compute.round(
-                pa.compute.multiply(t["o_totalprice"], pa.scalar(100.0))
+            pa.compute.floor(
+                pa.compute.add(
+                    pa.compute.multiply(
+                        t["o_totalprice"], pa.scalar(100.0)
+                    ),
+                    pa.scalar(0.5),
+                )
             ),
             pa.int64(),
         )
@@ -268,6 +275,193 @@ def funnel_conversion(events: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("user_part")
         .map_groups(_funnel_partition, batch_format="pandas")
     )
+
+
+def _markov_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash partition -> (from_type, to_type, n) transition
+    counts over each user's (ts, event_id)-ordered event sequence:
+    one sort, shifted equality for user boundaries, one vectorized
+    pair-groupby. Emits PARTIAL counts (<= type-vocab^2 rows per
+    partition); callers merge the tiny partials."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy()
+    et = df["event_type"].to_numpy()
+    if len(df) < 2:
+        return pd.DataFrame(
+            {
+                "from_type": np.array([], dtype=object),
+                "to_type": np.array([], dtype=object),
+                "n": np.array([], dtype="int64"),
+            }
+        )
+    same = uid[1:] == uid[:-1]
+    out = (
+        pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
+        .groupby(["from_type", "to_type"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def markov_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Event-type transition matrix (Markov chain counts): per-user
+    consecutive event pairs, counted. Users hash into bounded
+    partitions (each user's full sequence lands in one), pair counts
+    reduce within each partition to <= vocab^2 rows, and the final
+    merge sums the tiny partials in one single-block pass — the big
+    event stream never shuffles by pair key."""
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["from_type", "to_type"], sort=False, as_index=False)[
+                "n"
+            ]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_markov_partition, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
+INTERVAL_COVERAGE_WINDOW_US = 900_000_000  # 15 min
+
+
+def _coverage_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash partition -> per-user total covered time: each
+    event opens a fixed [ts, ts+W) interval; overlapping/touching
+    intervals merge (gaps-and-islands) and the union length sums.
+    Vectorized: one sort, per-user cumulative max end (C-level pandas
+    groupby cummax), island boundaries off a shifted compare, then one
+    island groupby for min-start/max-end. All arithmetic is int64
+    microseconds — exact, order-independent."""
+    w = INTERVAL_COVERAGE_WINDOW_US
+    df = df.sort_values(["user_id", "ts"], kind="mergesort")
+    uid = df["user_id"].to_numpy()
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "user_id": np.array([], dtype="int64"),
+                "covered_us": np.array([], dtype="int64"),
+            }
+        )
+    s = _ts_us(df["ts"])
+    e = s + w
+    cummax_e = (
+        pd.Series(e).groupby(pd.Series(uid), sort=False).cummax().to_numpy()
+    )
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = uid[1:] != uid[:-1]
+    # touching intervals (s == prev max end) merge: strict > breaks
+    brk = first.copy()
+    brk[1:] |= s[1:] > cummax_e[:-1]
+    island = np.cumsum(brk) - 1
+    isl = pd.DataFrame({"u": uid, "i": island, "s": s, "e": e}).groupby(
+        "i", sort=False
+    )
+    per_island = isl.agg(u=("u", "first"), mn=("s", "min"), mx=("e", "max"))
+    cov = (
+        (per_island["mx"] - per_island["mn"])
+        .groupby(per_island["u"], sort=False)
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "user_id": cov.index.to_numpy().astype("int64"),
+            "covered_us": cov.to_numpy().astype("int64"),
+        }
+    )
+
+
+def interval_coverage(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user interval-union coverage (merge overlapping windows,
+    sum the union length) — the gaps-and-islands shape, hashed into
+    bounded user partitions and computed vectorized within each."""
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_coverage_partition, batch_format="pandas")
+    )
+
+
+def _running_distinct_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One user-hash partition -> per-event RUNNING DISTINCT count of
+    event types seen so far by that user (inclusive), in (ts,
+    event_id) order. Vectorized: first-occurrence flags from one
+    duplicated() pass over (user, type) in sorted order, cumsum
+    rebased at user boundaries."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "event_id": np.array([], dtype="int64"),
+                "n_distinct_types": np.array([], dtype="int64"),
+            }
+        )
+    uid = df["user_id"].to_numpy()
+    isfirst = (
+        ~df.duplicated(subset=["user_id", "event_type"])
+    ).to_numpy()
+    cs = np.cumsum(isfirst.astype(np.int64))
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new_user)
+    base = (cs[starts] - isfirst[starts])[np.cumsum(new_user) - 1]
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "n_distinct_types": cs - base,
+        }
+    )
+
+
+def running_distinct(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-event running count of DISTINCT event types per user — the
+    windowed count(DISTINCT) shape SQL window functions can't express
+    directly. Bounded user-hash partitions, vectorized within each."""
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_running_distinct_partition, batch_format="pandas")
+    )
+
+
+def pareto_keep(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Skyline mask: keep row i iff no row has (x >= x_i AND y >= y_i)
+    with strict > in at least one coordinate (maximize both). Exact
+    integer inputs; ties on both coordinates keep every copy (neither
+    dominates). O(n log n): per-unique-x max-y suffix scan and the
+    symmetric pass, no pairwise loop."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    lo = np.iinfo(np.int64).min
+
+    def dominated(a, b):
+        # exists row with a' strictly > a and b' >= b
+        ua = np.unique(a)
+        ai = np.searchsorted(ua, a)
+        mx = np.full(len(ua), lo, dtype=np.int64)
+        np.maximum.at(mx, ai, b)
+        rev = np.maximum.accumulate(mx[::-1])[::-1]  # max over >= group
+        sg = np.concatenate([rev[1:], [lo]])  # max over STRICTLY greater
+        return sg[ai] >= b
+
+    return ~(dominated(x, y) | dominated(y, x))
 
 
 # ------------------------------------------------------------- as-of

@@ -119,6 +119,7 @@ DIFFERENTIAL_QUERIES = [
     "doclen_zscore",
     "global_rank",
     "len_token_corr",
+    "lang_regression",
     "top_word_per_lang",
     "lang_vocab_overlap",
     "sentence_split",
@@ -327,6 +328,9 @@ EVENT_QUERIES = [
     "events_time_delta",
     "funnel_conversion",
     "event_props",
+    "markov_transitions",
+    "interval_coverage",
+    "running_distinct",
 ]
 
 EMBEDDING_QUERIES = [
@@ -338,6 +342,7 @@ EMBEDDING_QUERIES = [
     "ivf_topk",
     "kmeans_clusters",
     "embedding_gram",
+    "embedding_quantize",
 ]
 
 
@@ -699,3 +704,70 @@ def test_deletion_hashes_match_direct_horner():
             assert got[0] == direct(s)
             for i in range(len(s)):
                 assert got[i + 1] == direct(s[:i] + s[i + 1 :])
+
+
+def _random_lineitem(seed: int, n: int = 600) -> pa.Table:
+    """Randomized lineitem: fractional quantities (the synthesizer
+    emits whole numbers), discount/tax grids with exact-half-cent
+    boundary values, shipdates straddling the Q1 cutoff, skewed
+    flag/status mixes — fuzzes the cents-quantization and dominance
+    logic of pricing_summary / weighted_avg_discount / skyline."""
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    base = datetime(1995, 1, 1)
+    rows = []
+    for i in range(n):
+        qty = rng.choice(
+            [rng.randint(1, 50), round(rng.uniform(0.5, 50.0), 2), 0.125]
+        )
+        rows.append(
+            (
+                i // 4 + 1,
+                rng.randint(1, 200),
+                rng.randint(1, 50),
+                i % 4 + 1,
+                float(qty),
+                round(rng.uniform(900.0, 95000.0), 2),
+                # TPC-H integer-percent grid: pricing_summary's exact
+                # integer units are DOCUMENTED as disc = cents×(100−d%)
+                # — the d%/t% domain is whole percents (as in TPC-H);
+                # fractional-percent discounts are outside the contract
+                rng.randint(0, 10) / 100,
+                rng.randint(0, 8) / 100,
+                rng.choice(["A", "N", "R"]),
+                rng.choice(["O", "F"]),
+                base + timedelta(days=rng.randint(0, 1800)),
+            )
+        )
+    cols = list(zip(*rows))
+    names_types = [
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]
+    return pa.table(
+        {nm: pa.array(c, t) for (nm, t), c in zip(names_types, cols)}
+    )
+
+
+LINEITEM_QUERIES = ["skyline", "pricing_summary", "weighted_avg_discount"]
+
+
+@pytest.fixture(scope="module", params=[13, 29, 71])
+def fuzz_lineitem_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzzli{request.param}")
+    pq.write_table(
+        _random_lineitem(request.param), str(d / "lineitem.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", LINEITEM_QUERIES)
+def test_lineitem_query_matches_oracle_on_random_rows(
+    name, fuzz_lineitem_dir
+):
+    _check_table(name, fuzz_lineitem_dir, "lineitem")

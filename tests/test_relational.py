@@ -448,3 +448,86 @@ def test_pagerank_budget_gate_switches_to_distributed():
     assert {
         (r["node"], r["rank"]) for r in gated.take_all()
     } == set(zip(dense["node"].to_pylist(), dense["rank"].to_pylist()))
+
+
+@pytest.mark.parametrize("seed", [5, 23, 77])
+def test_pareto_keep_matches_bruteforce(seed):
+    """Suffix-max skyline mask == O(n^2) dominance definition, on a
+    small grid with heavy ties (duplicate frontier points must ALL
+    survive: neither dominates the other)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    n = 120
+    x = np.array([rng.randint(0, 8) for _ in range(n)], dtype=np.int64)
+    y = np.array([rng.randint(0, 8) for _ in range(n)], dtype=np.int64)
+    got = relational.pareto_keep(x, y)
+    for i in range(n):
+        dominated = any(
+            x[j] >= x[i] and y[j] >= y[i] and (x[j] > x[i] or y[j] > y[i])
+            for j in range(n)
+        )
+        assert got[i] == (not dominated), (i, x[i], y[i])
+
+
+def test_coverage_partition_hand_computed():
+    """Two users: overlapping windows merge, touching windows merge
+    (strict-gap break), a gap opens a second island."""
+    w_min = relational.INTERVAL_COVERAGE_WINDOW_US // 60_000_000
+    df = _events(
+        [
+            (1, 7, T0),
+            (2, 7, T0 + timedelta(minutes=5)),        # overlaps -> merge
+            (3, 7, T0 + timedelta(minutes=w_min + 5)),  # touches e2's end
+            (4, 7, T0 + timedelta(minutes=3 * w_min)),  # gap -> island 2
+            (5, 8, T0),                                 # other user
+        ]
+    )
+    out = (
+        relational._coverage_partition(df)
+        .set_index("user_id")["covered_us"]
+        .to_dict()
+    )
+    w_us = relational.INTERVAL_COVERAGE_WINDOW_US
+    # user 7 island 1: [0, (w+5)+w) = 2w+5min; island 2: w
+    assert out[7] == (2 * w_us + 5 * 60_000_000) + w_us
+    assert out[8] == w_us
+
+
+def test_running_distinct_partition_hand_computed():
+    rows = [
+        (1, 7, "view", T0),
+        (2, 7, "view", T0 + timedelta(minutes=1)),
+        (3, 7, "click", T0 + timedelta(minutes=2)),
+        (4, 8, "view", T0 + timedelta(minutes=3)),  # new user restarts
+        (5, 7, "view", T0 + timedelta(minutes=4)),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).astype({"event_id": "int64", "user_id": "int64"})
+    out = relational._running_distinct_partition(df).set_index("event_id")
+    assert out["n_distinct_types"].to_dict() == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+
+
+def test_markov_partition_counts_pairs_per_user_only():
+    rows = [
+        (1, 7, "view", T0),
+        (2, 7, "click", T0 + timedelta(minutes=1)),
+        (3, 7, "click", T0 + timedelta(minutes=2)),
+        (4, 8, "purchase", T0 + timedelta(minutes=3)),  # no cross-user pair
+        (5, 8, "view", T0 + timedelta(minutes=4)),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).astype({"event_id": "int64", "user_id": "int64"})
+    out = relational._markov_partition(df)
+    got = {
+        (r.from_type, r.to_type): r.n for r in out.itertuples(index=False)
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "click"): 1,
+        ("purchase", "view"): 1,
+    }
