@@ -7092,6 +7092,403 @@ FROM m
 """
 
 
+def q_rollup_revenue(sf_dir: str):
+    """Hierarchical ROLLUP (region, nation) of order revenue in ONE
+    scan: the customer→nation→region dimension chain collapses into a
+    broadcast custkey lookup (the q_revenue_by_region pattern), each
+    orders block reduces map-side to ≤|nation| name-keyed partial rows,
+    and ALL THREE rollup levels (leaf / region subtotal / grand total)
+    derive from the same merged nation-grained partials on the driver —
+    no second scan, no fact-table shuffle, rollup cost O(|nation|).
+    ``lvl`` = GROUPING(r_name)·2 + GROUPING(n_name) (0 leaf, 1 region
+    subtotal, 3 grand total), matching DuckDB GROUP BY ROLLUP."""
+    import numpy as np
+    import pandas as pd
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    r2n = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nk2names = {
+        nk: (r2n[rk], nn)
+        for nk, nn, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    custkeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    order_idx = np.argsort(custkeys, kind="stable")
+    sorted_keys = custkeys[order_idx]
+    nks = cust["c_nationkey"].to_pylist()
+    sorted_nk = np.asarray(nks, dtype=np.int64)[order_idx]
+    lookup_ref = ray.put((sorted_keys, sorted_nk))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys, nk = cached_get(lookup_ref)
+        ck = t["o_custkey"].to_numpy()
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "nk": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pos = _np.minimum(_np.searchsorted(keys, ck), len(keys) - 1)
+        found = keys[pos] == ck
+        g_nk = nk[pos[found]]
+        g_cents = cents[found]
+        # dense bincount partial: nation keys are small ints
+        size = int(nk.max()) + 1 if len(nk) else 1
+        sums = _np.bincount(g_nk, weights=g_cents, minlength=size)
+        cnts = _np.bincount(g_nk, minlength=size)
+        nz = _np.nonzero(cnts)[0]
+        return pa.table(
+            {
+                "nk": pa.array(nz, pa.int64()),
+                "cents": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                "n": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("nk", sort=True).sum()
+    rows: list[tuple] = []
+    by_region: dict[str, list[int]] = {}
+    tot_c = tot_n = 0
+    for nk, r in m.iterrows():
+        rn, nn = nk2names[int(nk)]
+        c, n = int(r["cents"]), int(r["n"])
+        rows.append((rn, nn, c, n, 0))
+        acc = by_region.setdefault(rn, [0, 0])
+        acc[0] += c
+        acc[1] += n
+        tot_c += c
+        tot_n += n
+    for rn in sorted(by_region):
+        c, n = by_region[rn]
+        rows.append((rn, None, c, n, 1))
+    if tot_n:
+        rows.append((None, None, tot_c, tot_n, 3))
+    return pa.table(
+        {
+            "r_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_name": pa.array([r[1] for r in rows], pa.string()),
+            "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "n_orders": pa.array([r[3] for r in rows], pa.int64()),
+            "lvl": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS lvl
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_order_priority_semi(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
+    """SEMI-join (EXISTS — the TPC-H Q4 shape): orders per priority
+    having at least one deep-discount line (≥9% after half-up cents
+    rounding). The qualifying-key set reduces map-side (filter +
+    per-batch unique l_orderkey, bounded by |orders| not |lineitem|)
+    and verification is regime-gated by MEASURED bytes (the
+    minhash/PageRank budget pattern): under ``key_budget_bytes`` the
+    sorted key array broadcasts and orders filter map-side — neither
+    big table shuffles; beyond it, a distributed distinct + hash inner
+    join on o_orderkey. Regimes pinned identical by
+    tests/test_relational.py::test_order_priority_semi_regimes."""
+    import numpy as np
+
+    qualifying = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_discount"]
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": pc.unique(
+                        t.filter(
+                            pc.greater_equal(
+                                pc.cast(
+                                    pc.floor(
+                                        pc.add(
+                                            pc.multiply(
+                                                t["l_discount"],
+                                                pa.scalar(100.0),
+                                            ),
+                                            pa.scalar(0.5),
+                                        )
+                                    ),
+                                    pa.int64(),
+                                ),
+                                pa.scalar(9),
+                            )
+                        )["l_orderkey"]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    if qualifying.size_bytes() > key_budget_bytes:
+        # beyond-budget regime: distinct keys stay distributed and the
+        # semi-join realizes as a hash inner join (distinct ⇒ no fanout)
+        distinct = qualifying.groupby("o_orderkey").aggregate(
+            Count(alias_name="_n")
+        )
+        joined = orders.join(
+            distinct.select_columns(["o_orderkey"]),
+            join_type="inner",
+            num_partitions=16,
+            on=("o_orderkey",),
+        )
+        return joined.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_orders")
+        )
+    matched = np.unique(
+        np.concatenate(
+            [
+                t["o_orderkey"].to_numpy()
+                for t in ray.get(qualifying.to_arrow_refs())
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    matched_ref = ray.put(matched)
+
+    def semi(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys = cached_get(matched_ref)
+        ok = t["o_orderkey"].to_numpy()
+        if len(keys) == 0:
+            keep = _np.zeros(len(ok), dtype=bool)
+        else:
+            pos = _np.minimum(_np.searchsorted(keys, ok), len(keys) - 1)
+            keep = keys[pos] == ok
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return (
+        orders.map_batches(semi, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY_SEMI = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 9)
+GROUP BY o_orderpriority
+"""
+
+
+def _lang_length_hist(sf_dir: str):
+    """(lang, n_chars) -> count histogram: per-block np.unique partial
+    (bounded by the value grid, not the corpus) + one tiny groupby.
+    Shared by the exact-percentile and NTILE ops — the histogram IS
+    the scale story: distributed work is O(distinct lengths × langs),
+    never a corpus sort."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pylist(), "n_chars": t["n_chars"].to_numpy()}
+        )
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_chars": pa.array(g["n_chars"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "n_chars"])
+    )
+    return ds, hist
+
+
+def q_lang_percentiles(sf_dir: str):
+    """EXACT per-language length percentiles (p25/p50/p75/p90) without
+    a distributed sort: the corpus reduces to a (lang, n_chars)
+    histogram (bounded by the value grid), and each percentile reads
+    off the per-lang CDF on the driver. DuckDB ``quantile_disc``
+    selects the element at 0-based index ceil(p·n)−1 (the standard
+    percentile_disc rule — probed empirically across sizes and pinned
+    by the differential fuzz); the engine replays the identical index
+    arithmetic in the same double precision."""
+    import numpy as np
+
+    _, hist = _lang_length_hist(sf_dir)
+    out: dict[str, list] = {"lang": [], "p25": [], "p50": [], "p75": [], "p90": []}
+    for lang, g in hist.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        n = int(cum[-1])
+        out["lang"].append(lang)
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")):
+            idx = int(np.ceil(p * n)) - 1  # 0-based percentile_disc rule
+            out[col].append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            **{
+                c: pa.array(out[c], pa.int64())
+                for c in ("p25", "p50", "p75", "p90")
+            },
+        }
+    )
+
+
+SQL_LANG_PERCENTILES = """
+SELECT lang,
+  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+  CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+  CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+  CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90
+FROM documents GROUP BY lang
+"""
+
+
+def q_ntile_quartiles(sf_dir: str):
+    """Per-language NTILE(4) by (n_chars, doc_id) WITHOUT a per-lang
+    sort of the corpus: the (lang, n_chars) histogram gives every
+    (lang, length) its base rank and each lang its total on the driver
+    (tiny), docs partition by length (all rows of one (lang, length)
+    land together), and each bounded partition derives rank = base +
+    within-run offset, then the exact NTILE bucket from (rank, n) —
+    first n%4 buckets take ceil(n/4) rows, matching the SQL window
+    NTILE. Nothing corpus-sized sorts globally."""
+    import numpy as np
+
+    ds, hist = _lang_length_hist(sf_dir)
+    base: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for lang, g in hist.groupby("lang", sort=True):
+        cum = np.concatenate(([0], np.cumsum(g["n"].to_numpy())[:-1]))
+        for length, b in zip(g["n_chars"].to_numpy(), cum):
+            base[(lang, int(length))] = int(b)
+        totals[lang] = int(g["n"].sum())
+    base_ref = ray.put((base, totals))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["n_chars"], pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("part", part)
+
+    def ntile_partition(df):
+        from ..functions.broadcast import cached_get
+
+        b, tot = cached_get(base_ref)
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return df.assign(quartile=np.array([], dtype=np.int64))[
+                ["doc_id", "lang", "quartile"]
+            ]
+        lens = df["n_chars"].to_numpy()
+        langs = df["lang"].to_numpy()
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (lens[1:] != lens[:-1]) | (langs[1:] != langs[:-1])
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        offset = np.arange(n) - starts[run_id]
+        rank = (
+            np.array(
+                [b[(langs[i], int(lens[i]))] for i in starts], dtype=np.int64
+            )[run_id]
+            + offset
+        )  # 0-based within lang
+        n_l = np.array([tot[langs[i]] for i in starts], dtype=np.int64)[run_id]
+        size, rem = n_l // 4, n_l % 4
+        big = size + 1
+        in_big = rank < rem * big
+        q = np.where(
+            in_big,
+            rank // np.maximum(big, 1) + 1,
+            rem + np.where(size > 0, (rank - rem * big) // np.maximum(size, 1), 0) + 1,
+        )
+        df["quartile"] = q.astype(np.int64)
+        return df[["doc_id", "lang", "quartile"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(ntile_partition, batch_format="pandas")
+    )
+
+
+SQL_NTILE_QUARTILES = """
+SELECT doc_id, lang,
+  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+       AS BIGINT) AS quartile
+FROM documents
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -7110,6 +7507,10 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     # --- round-4 additions (newest least-proven ops, also in the
     # sampled prefix) ---
+    "rollup_revenue": q_rollup_revenue,
+    "order_priority_semi": q_order_priority_semi,
+    "lang_percentiles": q_lang_percentiles,
+    "ntile_quartiles": q_ntile_quartiles,
     "markov_transitions": q_markov_transitions,
     "interval_coverage": q_interval_coverage,
     "running_distinct": q_running_distinct,
@@ -7231,6 +7632,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,
+    "lang_percentiles": SQL_LANG_PERCENTILES,
+    "ntile_quartiles": SQL_NTILE_QUARTILES,
     "markov_transitions": SQL_MARKOV_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "running_distinct": SQL_RUNNING_DISTINCT,

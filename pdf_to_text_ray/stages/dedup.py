@@ -409,6 +409,7 @@ def minhash_near_dups(
     num_partitions: int = 16,
     pair_budget_bytes: int = PAIR_ID_BUDGET_BYTES,
     text_budget_bytes: int = VERIFY_TEXT_BUDGET_BYTES,
+    regime_hook=None,
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs with their true Jaccard.
 
@@ -428,6 +429,11 @@ def minhash_near_dups(
        unfiltered corpus (``_verify_by_join``), nothing ever
        centralized.
 
+    ``regime_hook``, if given, is called with the chosen regime name
+    (``"full_join" | "filtered_join" | "broadcast"``) — a diagnostic so
+    the scale tests can prove a budget gate tripped NATURALLY (by data
+    volume, not by budget override).
+
     -> (doc_a, doc_b, jaccard) with jaccard >= threshold
     """
     import numpy as np
@@ -439,6 +445,8 @@ def minhash_near_dups(
     # and only the join fallbacks pay for a distributed distinct.
     raw = minhash_candidate_pairs(ds, distinct=False).materialize()
     if raw.size_bytes() > pair_budget_bytes:
+        if regime_hook is not None:
+            regime_hook("full_join")
         pairs = raw.groupby(["doc_a", "doc_b"]).aggregate(
             Count(alias_name="n_bands")
         )
@@ -475,7 +483,11 @@ def minhash_near_dups(
         make_candidate_text_filter(ids_ref), batch_format="pyarrow"
     ).materialize()
     if cand_texts.size_bytes() > text_budget_bytes:
+        if regime_hook is not None:
+            regime_hook("filtered_join")
         return _verify_by_join(pairs, cand_texts, threshold, num_partitions)
+    if regime_hook is not None:
+        regime_hook("broadcast")
     lookup_ref = _build_text_lookup.remote(*cand_texts.to_arrow_refs())
     return pairs.map_batches(
         make_pair_verifier(lookup_ref, threshold), batch_format="pyarrow"

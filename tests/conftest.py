@@ -13,7 +13,10 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=4,
+            # 4 CPUs by default (catches starvation bugs a big box
+            # hides); tools/scale_gate.sh raises it for the amplified
+            # budget-regime tests, which shuffle hundreds of MB.
+            num_cpus=int(os.environ.get("PDFRAY_TEST_CPUS", "4")),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
