@@ -7489,6 +7489,200 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer, restricted to the RE2 ∩ Python-re common
+# subset: no lookarounds (RE2 has none), explicit ASCII whitespace
+# class (Python's \s is Unicode, RE2's is ASCII — the one semantic
+# trap), leftmost-first alternation (both engines). Contractions
+# split off first, then letter runs, digit runs, punctuation runs,
+# whitespace runs — each optionally absorbing one leading space.
+_BPE_PAT = (
+    r"'(?:[sdmt]|ll|re|ve)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^ \t\n\r\f\vA-Za-z0-9]+|[ \t\n\r\f\v]+"
+)
+import re as _re  # noqa: E402
+
+_BPE_RX = _re.compile(_BPE_PAT)
+
+
+def q_bpe_token_count(sf_dir: str):
+    """Tokenizer-budget estimation: per-document count of GPT-2-style
+    pre-tokens (the unit BPE merges start from — the standard proxy
+    for LLM token cost before a real tokenizer runs). Pure map over
+    text with a once-per-process compiled pattern; the oracle runs the
+    IDENTICAL pattern through DuckDB's RE2 (differentially probed:
+    0 mismatches over the corpus + adversarial synthetics)."""
+
+    def count(t: pa.Table) -> pa.Table:
+        n = [
+            len(_BPE_RX.findall(s)) for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe": pa.array(n, pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(count, batch_format="pyarrow")
+
+
+_SQL_BPE_PAT = _BPE_PAT.replace("'", "''")
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_SQL_BPE_PAT}')) AS BIGINT)
+    AS n_bpe
+FROM documents
+"""
+
+
+def q_pmi_top_pairs(sf_dir: str):
+    """Top-50 PMI word pairs (co-occurrence mining over a bounded
+    vocabulary — the collocation / phrase-detection shape): pass 1
+    reduces the corpus to global word counts (map-side Counter
+    partials + one small groupby) and takes the top-100 vocab; pass 2
+    broadcasts word→index and reduces EACH BLOCK to one dense 100×100
+    upper-triangle co-occurrence matrix + a 100-vector of doc
+    frequencies (the kmeans dense-partial pattern — per-block output
+    is O(vocab²), independent of corpus size); the driver merges
+    num_blocks tiny matrices and computes pmi = ln(n_docs·c_ab /
+    (c_a·c_b)) over exact integer counts, identically to the SQL."""
+    import math
+
+    import numpy as np
+
+    ds = _read_documents(sf_dir)
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(set(_PMI_RX.findall(text.lower())))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab_tbl = (
+        ds.map_batches(wc_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(100)
+        .take_all()
+    )
+    vocab = [r["word"] for r in vocab_tbl]
+    w2i = {w: i for i, w in enumerate(vocab)}
+    v = len(vocab)
+    w2i_ref = ray.put(w2i)
+
+    def cooc_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        lut = cached_get(w2i_ref)
+        k = len(lut)
+        mat = _np.zeros((k, k), dtype=np.int64)
+        df = _np.zeros(k, dtype=np.int64)
+        n_docs = 0
+        for text in t["text"].to_pylist():
+            n_docs += 1
+            idx = sorted(
+                {
+                    lut[w]
+                    for w in set(_PMI_RX.findall(text.lower()))
+                    if w in lut
+                }
+            )
+            if not idx:
+                continue
+            a = _np.asarray(idx, dtype=_np.int64)
+            df[a] += 1
+            if len(a) > 1:
+                ii, jj = _np.triu_indices(len(a), 1)
+                _np.add.at(mat, (a[ii], a[jj]), 1)
+        ii, jj = _np.nonzero(mat)
+        return pa.table(
+            {
+                "i": pa.array(
+                    _np.concatenate((ii, _np.arange(k), [-1])), pa.int64()
+                ),
+                "j": pa.array(
+                    _np.concatenate((jj, _np.full(k, -1), [-1])), pa.int64()
+                ),
+                "c": pa.array(
+                    _np.concatenate((mat[ii, jj], df, [n_docs])), pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(cooc_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["i", "j"], sort=False)["c"]
+        .sum()
+    )
+    n_docs = int(parts.get((-1, -1), 0))
+    dfreq = np.zeros(v, dtype=np.int64)
+    pair_counts: dict[tuple, int] = {}
+    for (i, j), c in parts.items():
+        if i == -1:
+            continue
+        if j == -1:
+            dfreq[i] = int(c)
+        else:
+            pair_counts[(i, j)] = int(c)
+    rows = []
+    for (i, j), c_ab in pair_counts.items():
+        if c_ab < 5:
+            continue
+        pmi = round(
+            math.log((n_docs * c_ab) / (dfreq[i] * dfreq[j])), 6
+        )
+        w1, w2 = sorted((vocab[i], vocab[j]))
+        rows.append((pmi, w1, w2, c_ab))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    rows = rows[:50]
+    return pa.table(
+        {
+            "w1": pa.array([r[1] for r in rows], pa.string()),
+            "w2": pa.array([r[2] for r in rows], pa.string()),
+            "c_ab": pa.array([r[3] for r in rows], pa.int64()),
+            "pmi": pa.array([r[0] for r in rows], pa.float64()),
+        }
+    )
+
+
+_PMI_RX = _re.compile(r"[a-z]{4,}")
+
+SQL_PMI_TOP_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM tok GROUP BY w
+  ORDER BY count(*) DESC, w ASC LIMIT 100
+), vt AS (
+  SELECT doc_id, w FROM tok WHERE w IN (SELECT w FROM vocab)
+), n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT w, count(*) AS c FROM vt GROUP BY w),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w HAVING count(*) >= 5
+)
+SELECT p.w1, p.w2, CAST(p.c_ab AS BIGINT) AS c_ab,
+  round(ln((n.n_docs * p.c_ab) / (d1.c * d2.c)), 6) AS pmi
+FROM pairs p, n, df d1, df d2
+WHERE d1.w = p.w1 AND d2.w = p.w2
+ORDER BY pmi DESC, p.w1, p.w2 LIMIT 50
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -7511,6 +7705,8 @@ QUERIES = {
     "order_priority_semi": q_order_priority_semi,
     "lang_percentiles": q_lang_percentiles,
     "ntile_quartiles": q_ntile_quartiles,
+    "bpe_token_count": q_bpe_token_count,
+    "pmi_top_pairs": q_pmi_top_pairs,
     "markov_transitions": q_markov_transitions,
     "interval_coverage": q_interval_coverage,
     "running_distinct": q_running_distinct,
@@ -7636,6 +7832,8 @@ ORACLE_SQL = {
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,
     "lang_percentiles": SQL_LANG_PERCENTILES,
     "ntile_quartiles": SQL_NTILE_QUARTILES,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "pmi_top_pairs": SQL_PMI_TOP_PAIRS,
     "markov_transitions": SQL_MARKOV_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "running_distinct": SQL_RUNNING_DISTINCT,

@@ -156,6 +156,10 @@ DIFFERENTIAL_QUERIES = [
     "video_frame_sample",
     "media_features",
     "summarize",
+    "lang_percentiles",
+    "ntile_quartiles",
+    "bpe_token_count",
+    "pmi_top_pairs",
 ]
 
 
@@ -573,6 +577,8 @@ RELATIONAL_QUERIES = [
     "supplier_revenue",
     "weighted_avg_discount",
     "pagerank",
+    "rollup_revenue",
+    "order_priority_semi",
 ]
 
 

@@ -531,3 +531,20 @@ def test_markov_partition_counts_pairs_per_user_only():
         ("click", "click"): 1,
         ("purchase", "view"): 1,
     }
+
+
+def test_order_priority_semi_regimes_identical(sf_dir):
+    """The broadcast-keyset and distributed-join semi-join regimes
+    (selected by the measured key-budget gate) must agree exactly."""
+    from pdf_to_text_ray.pipelines.queries import q_order_priority_semi
+
+    def rows(**kw):
+        return sorted(
+            (r["o_orderpriority"], r["n_orders"])
+            for r in q_order_priority_semi(sf_dir, **kw).take_all()
+        )
+
+    broadcast = rows()
+    joined = rows(key_budget_bytes=0)
+    assert broadcast == joined
+    assert broadcast and sum(n for _, n in broadcast) > 0
