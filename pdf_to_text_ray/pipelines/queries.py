@@ -6593,16 +6593,31 @@ def q_fuzzy_url_join(sf_dir: str):
                     out_b.append(b)
         return pd.DataFrame({"url_a": out_a, "url_b": out_b})
 
+    def pair_part(t: pa.Table) -> pa.Table:
+        import zlib
+
+        part = [
+            zlib.crc32(f"{a}\x1f{b}".encode()) % 64
+            for a, b in zip(t["url_a"].to_pylist(), t["url_b"].to_pylist())
+        ]
+        return t.append_column("pp", pa.array(part, pa.int32()))
+
     return (
         ids.map_batches(keyed, batch_format="pyarrow")
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
-        # a pair is re-found under every shared key; keys hash to
-        # different partitions, so the distinct is global (the pair
-        # set is near-dup-sized — this groupby is tiny)
-        .groupby(["url_a", "url_b"])
+        # a pair is re-found under every shared key: distinct in
+        # bounded hash partitions with ONE vectorized drop_duplicates
+        # per partition (a per-pair groupby would pay Ray's
+        # multi-column-aggregate cliff; same key → same partition, so
+        # the distinct is still global)
+        .map_batches(pair_part, batch_format="pyarrow")
+        .groupby("pp")
         .map_groups(
-            lambda df: df.head(1), batch_format="pandas"
+            lambda df: df.drop_duplicates(["url_a", "url_b"])[
+                ["url_a", "url_b"]
+            ],
+            batch_format="pandas",
         )
     )
 

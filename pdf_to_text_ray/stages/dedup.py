@@ -183,6 +183,76 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return _partition_pairs(df, "band_key")
 
 
+def _pack_pair_keys(t: pa.Table, pre_unique: bool) -> pa.Table:
+    """(doc_a, doc_b) -> packed int64 key + bounded partition id.
+    Ray's multi-column groupby-aggregate hits a severe cliff on
+    few-large-block pair tables (measured 152 s vs 0.2 s on 685k rows
+    — the round-4 full-join regime stall), so pair distinct/count runs
+    as the repo-standard packed-key bounded-partition reduce instead.
+    ``pre_unique`` dedups block-locally first (band multiplicity ≤
+    NUM_BANDS, so it shrinks the exchange up to 16×) — only valid when
+    the caller doesn't need multiplicities."""
+    import numpy as np
+
+    a = t["doc_a"].to_numpy()
+    b = t["doc_b"].to_numpy()
+    if len(a) and (int(a.max()) >= 1 << 31 or int(b.max()) >= 1 << 31):
+        # (a << 32) must stay positive in int64 and b must not bleed
+        # into a's bits — same guard as the pagerank/line-dedup packs
+        raise ValueError("doc id overflows the packed pair key")
+    key = (a << np.int64(32)) | b
+    if pre_unique:
+        key = np.unique(key)
+    return pa.table(
+        {
+            "key": pa.array(key, pa.int64()),
+            "part": pa.array(
+                (key % NUM_LSH_PARTITIONS).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+
+
+def _unique_pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    k = np.unique(df["key"].to_numpy())
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array(k >> 32, "int64"),
+            "doc_b": pd.array(k & 0xFFFFFFFF, "int64"),
+        }
+    )
+
+
+def _pair_counts_partition(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    k, n = np.unique(df["key"].to_numpy(), return_counts=True)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array(k >> 32, "int64"),
+            "doc_b": pd.array(k & 0xFFFFFFFF, "int64"),
+            "n_bands": pd.array(n, "int64"),
+        }
+    )
+
+
+def distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (doc_a, doc_b) via block-local pre-unique + packed-key
+    bounded-partition np.unique — the exchange moves only int64 keys
+    and the reduce is one vectorized pass per partition (never a
+    per-group aggregate)."""
+    return (
+        pairs.map_batches(
+            lambda t: _pack_pair_keys(t, pre_unique=True),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(_unique_pairs_partition, batch_format="pandas")
+    )
+
+
 def minhash_task_fn(
     batch: pa.Table, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS
 ) -> pa.Table:
@@ -213,8 +283,16 @@ def minhash_candidate_pairs(
         _bucket_pairs, batch_format="pandas"
     )
     if distinct:
-        pairs = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-            Count(alias_name="n_bands")
+        # packed-key bounded-partition reduce, NOT a (doc_a, doc_b)
+        # groupby-aggregate: Ray's multi-column aggregate is ~750×
+        # slower on pair tables (see _pack_pair_keys)
+        pairs = (
+            pairs.map_batches(
+                lambda t: _pack_pair_keys(t, pre_unique=False),
+                batch_format="pyarrow",
+            )
+            .groupby("part")
+            .map_groups(_pair_counts_partition, batch_format="pandas")
         )
     return pairs
 
@@ -447,9 +525,7 @@ def minhash_near_dups(
     if raw.size_bytes() > pair_budget_bytes:
         if regime_hook is not None:
             regime_hook("full_join")
-        pairs = raw.groupby(["doc_a", "doc_b"]).aggregate(
-            Count(alias_name="n_bands")
-        )
+        pairs = distinct_pairs(raw)
         texts = ds.map_batches(
             lambda t: pa.table({"side_id": t["doc_id"], "text": t["text"]}),
             batch_format="pyarrow",
@@ -574,15 +650,62 @@ def _simhash_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _pack_pairs_hamming(t: pa.Table) -> pa.Table:
+    """Pair rows + hamming -> packed key/partition (multi-column
+    groupby-aggregate avoidance — see _pack_pair_keys)."""
+    import numpy as np
+
+    a = t["doc_a"].to_numpy()
+    b = t["doc_b"].to_numpy()
+    if len(a) and (int(a.max()) >= 1 << 31 or int(b.max()) >= 1 << 31):
+        raise ValueError("doc id overflows the packed pair key")
+    key = (a << np.int64(32)) | b
+    return pa.table(
+        {
+            "key": pa.array(key, pa.int64()),
+            "part": pa.array(
+                (key % NUM_LSH_PARTITIONS).astype(np.int32), pa.int32()
+            ),
+            "hamming": t["hamming"],
+        }
+    )
+
+
+def _pair_min_hamming_partition(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    k = df["key"].to_numpy()
+    h = df["hamming"].to_numpy()
+    order = np.lexsort((h, k))
+    k, h = k[order], h[order]
+    first = np.empty(len(k), dtype=bool)
+    if len(k):
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+    k, h = k[first], h[first]
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array(k >> 32, "int64"),
+            "doc_b": pd.array(k & 0xFFFFFFFF, "int64"),
+            "hamming": pd.array(h, "int64"),
+        }
+    )
+
+
 def simhash_near_dups(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """documents -> (doc_a, doc_b, hamming) pairs with distance ≤ 3."""
+    """documents -> (doc_a, doc_b, hamming) pairs with distance ≤ 3.
+    The per-pair min (a pair can surface from several signature
+    chunks) reduces as a packed-key bounded-partition lexsort, not a
+    multi-column Ray aggregate (the measured ~750× cliff)."""
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
     chunks = sigs.map_batches(_simhash_chunk_rows, batch_format="pyarrow")
     pairs = chunks.groupby("chunk_part").map_groups(
         _simhash_bucket_pairs, batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    return (
+        pairs.map_batches(_pack_pairs_hamming, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pair_min_hamming_partition, batch_format="pandas")
     )
 
 
