@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "supplier_revenue",
     "skyline",
     "weighted_avg_discount",
+    "rollup_revenue",
+    "order_priority_semi",
     "pagerank",
     "extraction_metrics",
     "dedup_exact",
@@ -56,6 +58,10 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "token_stats",
     "quality",
+    "lang_percentiles",
+    "ntile_quartiles",
+    "bpe_token_count",
+    "pmi_top_pairs",
     "lang_id",
     "lang_confusion",
     "longest_doc_per_lang",
