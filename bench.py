@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ntile_quartiles",
     "bpe_token_count",
     "pmi_top_pairs",
+    "weighted_sample",
     "lang_id",
     "lang_confusion",
     "longest_doc_per_lang",

@@ -7698,6 +7698,73 @@ ORDER BY pmi DESC, p.w1, p.w2 LIMIT 50
 """
 
 
+def q_weighted_sample(sf_dir: str, k: int = 30):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res, IPL 2006): each doc draws a deterministic uniform
+    u from the md5-nibble hash and takes priority u^(1/w) (w = doc
+    length); the global top-k by priority IS the weighted sample. Each
+    block reduces map-side to its own top-k (tie-broken identically to
+    the global order), so the driver merges ≤ k·num_blocks skinny rows
+    — the corpus never sorts. Zero-weight docs are never sampled
+    (standard A-Res). Both engines evaluate the same double pow on the
+    same exact u, so selection is bit-identical."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = t["n_chars"].to_numpy()
+        m = w > 0
+        ids, w = ids[m], w[m]
+        hv = np.array([_docid_hash32(int(i)) for i in ids], np.float64)
+        u = (hv + 1.0) / 4294967296.0
+        key = u ** (1.0 / w)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(w[order], pa.int64()),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    rows = sorted(
+        (
+            r
+            for t in ray.get(
+                ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+            )
+            for r in t.to_pylist()
+        ),
+        key=lambda r: (-r["key"], r["doc_id"]),
+    )[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "priority": pa.array(
+                [round(r["key"], 6) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH h AS ({_HH_SQL}),
+w AS (
+  SELECT d.doc_id, d.n_chars, (h.hv + 1) / 4294967296.0 AS u
+  FROM documents d JOIN h ON d.doc_id = h.doc_id
+  WHERE d.n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       round(pow(u, 1.0 / n_chars), 6) AS priority
+FROM w ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 30
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -7722,6 +7789,7 @@ QUERIES = {
     "ntile_quartiles": q_ntile_quartiles,
     "bpe_token_count": q_bpe_token_count,
     "pmi_top_pairs": q_pmi_top_pairs,
+    "weighted_sample": q_weighted_sample,
     "markov_transitions": q_markov_transitions,
     "interval_coverage": q_interval_coverage,
     "running_distinct": q_running_distinct,
@@ -7849,6 +7917,7 @@ ORACLE_SQL = {
     "ntile_quartiles": SQL_NTILE_QUARTILES,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "pmi_top_pairs": SQL_PMI_TOP_PAIRS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "markov_transitions": SQL_MARKOV_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "running_distinct": SQL_RUNNING_DISTINCT,

@@ -160,6 +160,7 @@ DIFFERENTIAL_QUERIES = [
     "ntile_quartiles",
     "bpe_token_count",
     "pmi_top_pairs",
+    "weighted_sample",
 ]
 
 
