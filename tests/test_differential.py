@@ -778,3 +778,28 @@ def test_lineitem_query_matches_oracle_on_random_rows(
     name, fuzz_lineitem_dir
 ):
     _check_table(name, fuzz_lineitem_dir, "lineitem")
+
+
+def test_ntile_small_groups_match_duckdb(tmp_path):
+    """NTILE(4) boundary arithmetic on group sizes 1..9 (first n%4
+    buckets take ceil(n/4) rows) — constructed corpus, exact compare."""
+    import itertools
+
+    texts, langs = [], []
+    for lang, n in zip("abcdefghi", range(1, 10)):
+        for i in range(n):
+            texts.append("x " * (i % 3 + 1))
+            langs.append(f"l{lang}")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    _check("ntile_quartiles", str(tmp_path))
+    _check("lang_percentiles", str(tmp_path))
+    _check("weighted_sample", str(tmp_path))
