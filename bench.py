@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "skyline",
     "weighted_avg_discount",
     "rollup_revenue",
+    "cube_revenue",
     "order_priority_semi",
     "pagerank",
     "extraction_metrics",

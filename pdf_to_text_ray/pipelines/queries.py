@@ -7239,6 +7239,165 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (region, order-priority) revenue — the
+    two-dimensional rollup twin of q_rollup_revenue: orders reduce
+    map-side to a DENSE |region|×|priority| integer cell grid per
+    block (region via the broadcast custkey chain, priority via a
+    fixed small vocabulary), and ALL FOUR cube levels (cell / row
+    margin / column margin / grand total) derive from the same merged
+    grid on the driver. ``lvl`` = GROUPING(r_name)·2 +
+    GROUPING(o_orderpriority), matching DuckDB GROUP BY CUBE."""
+    import numpy as np
+    import pandas as pd
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    rkeys = region["r_regionkey"].to_pylist()
+    rnames = region["r_name"].to_pylist()
+    rk2idx = {rk: i for i, rk in enumerate(rkeys)}
+    custkeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    order_idx = np.argsort(custkeys, kind="stable")
+    sorted_keys = custkeys[order_idx]
+    ridx = np.asarray(
+        [rk2idx[n2r[n]] for n in cust["c_nationkey"].to_pylist()],
+        dtype=np.int64,
+    )[order_idx]
+    n_regions = len(rkeys)
+    # priority vocabulary: bounded by design; one column-pruned pass,
+    # per-block unique, driver union (vocab × blocks rows)
+    prio_names = sorted(
+        {
+            v
+            for t in ray.get(
+                ray.data.read_parquet(
+                    f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+                )
+                .map_batches(
+                    lambda t: pa.table(
+                        {"p": pc.unique(t["o_orderpriority"])}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .to_arrow_refs()
+            )
+            for v in t["p"].to_pylist()
+        }
+    )
+    p2i = {p: i for i, p in enumerate(prio_names)}
+    n_prios = len(p2i)
+    lookup_ref = ray.put((sorted_keys, ridx, p2i))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys, reg, pmap = cached_get(lookup_ref)
+        ck = t["o_custkey"].to_numpy()
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        prio = _np.array(
+            [pmap[s] for s in t["o_orderpriority"].to_pylist()],
+            dtype=np.int64,
+        )
+        if len(keys) == 0:
+            found = _np.zeros(len(ck), dtype=bool)
+            pos = _np.zeros(len(ck), dtype=np.int64)
+        else:
+            pos = _np.minimum(_np.searchsorted(keys, ck), len(keys) - 1)
+            found = keys[pos] == ck
+        n_p = len(pmap)
+        cell = reg[pos[found]] * n_p + prio[found]
+        size = n_regions * n_p
+        sums = _np.bincount(cell, weights=cents[found], minlength=size)
+        cnts = _np.bincount(cell, minlength=size)
+        nz = _np.nonzero(cnts)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int64()),
+                "cents": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                "n": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("cell", sort=True).sum()
+    grid_c = np.zeros((n_regions, n_prios), dtype=np.int64)
+    grid_n = np.zeros((n_regions, n_prios), dtype=np.int64)
+    for cell, r in m.iterrows():
+        grid_c[cell // n_prios, cell % n_prios] = int(r["cents"])
+        grid_n[cell // n_prios, cell % n_prios] = int(r["n"])
+    rows = []
+    for i in range(n_regions):
+        for j in range(n_prios):
+            if grid_n[i, j]:
+                rows.append(
+                    (rnames[i], prio_names[j], grid_c[i, j], grid_n[i, j], 0)
+                )
+    for i in range(n_regions):
+        if grid_n[i].sum():
+            rows.append(
+                (rnames[i], None, int(grid_c[i].sum()),
+                 int(grid_n[i].sum()), 1)
+            )
+    for j in range(n_prios):
+        if grid_n[:, j].sum():
+            rows.append(
+                (None, prio_names[j], int(grid_c[:, j].sum()),
+                 int(grid_n[:, j].sum()), 2)
+            )
+    if grid_n.sum():
+        rows.append((None, None, int(grid_c.sum()), int(grid_n.sum()), 3))
+    return pa.table(
+        {
+            "r_name": pa.array([r[0] for r in rows], pa.string()),
+            "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+            "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "n_orders": pa.array([r[3] for r in rows], pa.int64()),
+            "lvl": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT r_name, o_orderpriority,
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(grouping(r_name) * 2 + grouping(o_orderpriority) AS BIGINT) AS lvl
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderpriority)
+"""
+
+
 def q_order_priority_semi(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
     """SEMI-join (EXISTS — the TPC-H Q4 shape): orders per priority
     having at least one deep-discount line (≥9% after half-up cents
@@ -7784,6 +7943,7 @@ QUERIES = {
     # --- round-4 additions (newest least-proven ops, also in the
     # sampled prefix) ---
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
     "order_priority_semi": q_order_priority_semi,
     "lang_percentiles": q_lang_percentiles,
     "ntile_quartiles": q_ntile_quartiles,
@@ -7912,6 +8072,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,
     "lang_percentiles": SQL_LANG_PERCENTILES,
     "ntile_quartiles": SQL_NTILE_QUARTILES,

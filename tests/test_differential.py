@@ -579,6 +579,7 @@ RELATIONAL_QUERIES = [
     "weighted_avg_discount",
     "pagerank",
     "rollup_revenue",
+    "cube_revenue",
     "order_priority_semi",
 ]
 
