@@ -7779,33 +7779,35 @@ def q_pmi_top_pairs(sf_dir: str):
                 ii, jj = _np.triu_indices(len(a), 1)
                 _np.add.at(mat, (a[ii], a[jj]), 1)
         ii, jj = _np.nonzero(mat)
+        # packed single-key cells (i+1, j+1 shift the -1 sentinels to
+        # 0): the global reduce is ONE single-column groupby over a
+        # vocab²-bounded key space — never a multi-column aggregate,
+        # and the driver reads ≤ (vocab+1)² rows however many blocks
+        # the corpus has
+        i_all = _np.concatenate((ii, _np.arange(k), [-1])) + 1
+        j_all = _np.concatenate((jj, _np.full(k, -1), [-1])) + 1
+        c_all = _np.concatenate((mat[ii, jj], df, [n_docs]))
         return pa.table(
             {
-                "i": pa.array(
-                    _np.concatenate((ii, _np.arange(k), [-1])), pa.int64()
-                ),
-                "j": pa.array(
-                    _np.concatenate((jj, _np.full(k, -1), [-1])), pa.int64()
-                ),
-                "c": pa.array(
-                    _np.concatenate((mat[ii, jj], df, [n_docs])), pa.int64()
-                ),
+                "cell": pa.array(i_all * 1024 + j_all, pa.int64()),
+                "c": pa.array(c_all, pa.int64()),
             }
         )
 
-    parts = (
+    merged = (
         ds.map_batches(cooc_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
-        .groupby(["i", "j"], sort=False)["c"]
-        .sum()
     )
-    n_docs = int(parts.get((-1, -1), 0))
+    n_docs = 0
     dfreq = np.zeros(v, dtype=np.int64)
     pair_counts: dict[tuple, int] = {}
-    for (i, j), c in parts.items():
+    for cell, c in zip(merged["cell"], merged["c"]):
+        i, j = int(cell) // 1024 - 1, int(cell) % 1024 - 1
         if i == -1:
-            continue
-        if j == -1:
+            n_docs = int(c)
+        elif j == -1:
             dfreq[i] = int(c)
         else:
             pair_counts[(i, j)] = int(c)
