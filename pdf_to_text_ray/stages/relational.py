@@ -952,47 +952,72 @@ def cluster_pairs_distributed(
     # CO-GROUP: union the edge rows with the label rows and group by
     # src — schema-stable, unlike chaining hash joins whose empty
     # partitions emit zero-column blocks.
-    both_dirs = edges.map_batches(
-        lambda b: pa.table(
+    def _with_part(src, dst, label):
+        return pa.table(
             {
-                "src": pa.concat_arrays(
-                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+                "src": src,
+                "dst": dst,
+                "label": label,
+                "src_part": pc.cast(
+                    pc.bit_wise_and(src, pa.scalar(63, pa.int64())),
+                    pa.int32(),
                 ),
-                "dst": pa.concat_arrays(
-                    [b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()]
-                ),
-                "label": pa.nulls(2 * b.num_rows, pa.int64()),
             }
+        )
+
+    both_dirs = edges.map_batches(
+        lambda b: _with_part(
+            pa.concat_arrays(
+                [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+            ),
+            pa.concat_arrays(
+                [b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()]
+            ),
+            pa.nulls(2 * b.num_rows, pa.int64()),
         ),
         batch_format="pyarrow",
     ).materialize()
 
-    def propagate(group: pd.DataFrame) -> pd.DataFrame:
-        lbl = group["label"].dropna()
-        dsts = group.loc[group["dst"] >= 0, "dst"]
-        if lbl.empty or dsts.empty:
+    def propagate_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash-PARTITION of co-grouped rows (complete src groups —
+        same src → same partition): forward each src's label to all its
+        dsts in ONE vectorized map. A per-src pandas group would pay
+        per-group overhead on millions of tiny groups (the cliff the
+        user-window ops dodge with user_part)."""
+        lbl = df[df["dst"] < 0]
+        edges = df[df["dst"] >= 0]
+        if lbl.empty or edges.empty:
             return pd.DataFrame({"node": [], "label": []}).astype(
                 {"node": "int64", "label": "int64"}
             )
+        # labels carry one row per node (they come from a per-node
+        # min), so a plain index map suffices
+        m = lbl.set_index("src")["label"]
+        lab = edges["src"].map(m)
+        ok = lab.notna()
         return pd.DataFrame(
-            {"node": dsts.astype("int64"), "label": int(lbl.min())}
+            {
+                "node": edges.loc[ok, "dst"].astype("int64").to_numpy(),
+                "label": lab[ok].astype("int64").to_numpy(),
+            }
         )
 
     for _ in range(max_iters):
         tagged_labels = labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t["node"],
-                    "dst": pa.nulls(t.num_rows, pa.int64()).fill_null(-1),
-                    "label": t["label"],
-                }
+            lambda t: _with_part(
+                t["node"].combine_chunks(),
+                pa.nulls(t.num_rows, pa.int64()).fill_null(-1),
+                t["label"].combine_chunks(),
             ),
             batch_format="pyarrow",
         )
         msgs = (
             both_dirs.union(tagged_labels)
-            .groupby("src")
-            .map_groups(propagate, batch_format="pandas")
+            # BOUNDED partitions (src & 63), not one pandas group per
+            # node — complete src groups land together, the forward is
+            # one vectorized map per partition
+            .groupby("src_part")
+            .map_groups(propagate_partition, batch_format="pandas")
             # normalize to arrow blocks: union() refuses mixed block types
             .map_batches(lambda t: t, batch_format="pyarrow")
         )
