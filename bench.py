@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "quality",
     "lang_percentiles",
     "ntile_quartiles",
+    "cume_dist_lengths",
+    "mad_lengths",
     "bpe_token_count",
     "pmi_top_pairs",
     "weighted_sample",

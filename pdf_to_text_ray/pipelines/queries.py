@@ -7663,6 +7663,90 @@ FROM documents
 """
 
 
+def q_cume_dist_lengths(sf_dir: str):
+    """Per-language empirical CDF of doc length (the distinct
+    (lang, n_chars) grid with its cume_dist) — read directly off the
+    shared histogram: cume = cum_count / n as one exact int/int IEEE
+    division per grid point, identical to the SQL window. Distributed
+    work is the histogram pass only."""
+    import numpy as np
+
+    _, hist = _lang_length_hist(sf_dir)
+    langs, lens, cds = [], [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        cum = np.cumsum(g["n"].to_numpy())
+        n = int(cum[-1])
+        for length, c in zip(g["n_chars"].to_numpy(), cum):
+            langs.append(lang)
+            lens.append(int(length))
+            cds.append(int(c) / n)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array(lens, pa.int64()),
+            "cd": pa.array(cds, pa.float64()),
+        }
+    )
+
+
+SQL_CUME_DIST_LENGTHS = """
+SELECT DISTINCT lang, n_chars,
+  cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+FROM documents
+"""
+
+
+def q_mad_lengths(sf_dir: str):
+    """Per-language median absolute deviation of doc length from ONE
+    distributed pass: the |x − median| histogram folds out of the
+    value histogram on the driver (mirror the below-median mass onto
+    the deviation axis), so the second 'pass' the textbook two-pass
+    MAD needs is free. Median/MAD both use the quantile_disc
+    ceil(p·n)−1 rule the oracle replays."""
+    import numpy as np
+
+    _, hist = _lang_length_hist(sf_dir)
+    out: dict[str, list] = {"lang": [], "median": [], "mad": []}
+    for lang, g in hist.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cnts = g["n"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        med = int(vals[np.searchsorted(cum, int(np.ceil(0.5 * n)) - 1 + 1)])
+        # fold: histogram of |x - med| (merge equal deviations)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dev_s, cnt_s = dev[order], cnts[order]
+        uniq, inv = np.unique(dev_s, return_inverse=True)
+        dcnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(dcnt, inv, cnt_s)
+        dcum = np.cumsum(dcnt)
+        mad = int(uniq[np.searchsorted(dcum, int(np.ceil(0.5 * n)))])
+        out["lang"].append(lang)
+        out["median"].append(med)
+        out["mad"].append(mad)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "median": pa.array(out["median"], pa.int64()),
+            "mad": pa.array(out["mad"], pa.int64()),
+        }
+    )
+
+
+SQL_MAD_LENGTHS = """
+WITH med AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS m
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+  CAST(any_value(med.m) AS BIGINT) AS median,
+  CAST(quantile_disc(abs(d.n_chars - med.m), 0.5) AS BIGINT) AS mad
+FROM documents d JOIN med ON d.lang = med.lang
+GROUP BY d.lang
+"""
+
+
 # GPT-2-style pre-tokenizer, restricted to the RE2 ∩ Python-re common
 # subset: no lookarounds (RE2 has none), explicit ASCII whitespace
 # class (Python's \s is Unicode, RE2's is ASCII — the one semantic
@@ -7949,6 +8033,8 @@ QUERIES = {
     "order_priority_semi": q_order_priority_semi,
     "lang_percentiles": q_lang_percentiles,
     "ntile_quartiles": q_ntile_quartiles,
+    "cume_dist_lengths": q_cume_dist_lengths,
+    "mad_lengths": q_mad_lengths,
     "bpe_token_count": q_bpe_token_count,
     "pmi_top_pairs": q_pmi_top_pairs,
     "weighted_sample": q_weighted_sample,
@@ -8078,6 +8164,8 @@ ORACLE_SQL = {
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,
     "lang_percentiles": SQL_LANG_PERCENTILES,
     "ntile_quartiles": SQL_NTILE_QUARTILES,
+    "cume_dist_lengths": SQL_CUME_DIST_LENGTHS,
+    "mad_lengths": SQL_MAD_LENGTHS,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "pmi_top_pairs": SQL_PMI_TOP_PAIRS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -158,6 +158,8 @@ DIFFERENTIAL_QUERIES = [
     "summarize",
     "lang_percentiles",
     "ntile_quartiles",
+    "cume_dist_lengths",
+    "mad_lengths",
     "bpe_token_count",
     "pmi_top_pairs",
     "weighted_sample",
