@@ -7176,15 +7176,17 @@ def q_rollup_revenue(sf_dir: str):
         found = keys[pos] == ck
         g_nk = nk[pos[found]]
         g_cents = cents[found]
-        # dense bincount partial: nation keys are small ints
+        # dense int64 partial via add.at (bincount's float64 weights
+        # would round above 2^53; cents stay EXACT integers)
         size = int(nk.max()) + 1 if len(nk) else 1
-        sums = _np.bincount(g_nk, weights=g_cents, minlength=size)
+        sums = _np.zeros(size, dtype=_np.int64)
+        _np.add.at(sums, g_nk, g_cents)
         cnts = _np.bincount(g_nk, minlength=size)
         nz = _np.nonzero(cnts)[0]
         return pa.table(
             {
                 "nk": pa.array(nz, pa.int64()),
-                "cents": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                "cents": pa.array(sums[nz], pa.int64()),
                 "n": pa.array(cnts[nz].astype(np.int64), pa.int64()),
             }
         )
@@ -7327,13 +7329,15 @@ def q_cube_revenue(sf_dir: str):
         n_p = len(pmap)
         cell = reg[pos[found]] * n_p + prio[found]
         size = n_regions * n_p
-        sums = _np.bincount(cell, weights=cents[found], minlength=size)
+        # int64 add.at, not bincount weights (float64 rounds > 2^53)
+        sums = _np.zeros(size, dtype=_np.int64)
+        _np.add.at(sums, cell, cents[found])
         cnts = _np.bincount(cell, minlength=size)
         nz = _np.nonzero(cnts)[0]
         return pa.table(
             {
                 "cell": pa.array(nz, pa.int64()),
-                "cents": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                "cents": pa.array(sums[nz], pa.int64()),
                 "n": pa.array(cnts[nz].astype(np.int64), pa.int64()),
             }
         )
