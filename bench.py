@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "cube_revenue",
     "order_priority_semi",
+    "large_orders",
+    "idle_customers",
     "pagerank",
     "extraction_metrics",
     "dedup_exact",
@@ -58,6 +60,7 @@ BENCH_QUERIES = [
     "minhash_near_dups",
     "simhash_near_dups",
     "token_stats",
+    "heavy_hitter_words",
     "quality",
     "lang_percentiles",
     "ntile_quartiles",

@@ -8014,10 +8014,396 @@ FROM w ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 30
 """
 
 
+def q_large_orders(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
+    """HAVING-filtered aggregate feeding a join (the TPC-H Q18 shape):
+    orders whose lineitem quantity total exceeds 250. The per-order
+    quantity sums reduce map-side (per-batch groupby, bounded by
+    |orders| not |lineitem|) into one small groupby; the HAVING filter
+    shrinks the survivor set to ~1% of orders, which broadcasts as a
+    sorted (key, sum) lookup so the orders table joins map-side —
+    neither big table shuffles. Beyond ``key_budget_bytes`` of
+    survivors the join realizes as a distributed hash join instead
+    (the measured-budget regime pattern of order_priority_semi)."""
+    import numpy as np
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ok = t["l_orderkey"].to_numpy()
+        qty = pc.cast(t["l_quantity"], pa.int64()).to_numpy()
+        keys, inv = _np.unique(ok, return_inverse=True)
+        sums = _np.zeros(len(keys), dtype=_np.int64)
+        _np.add.at(sums, inv, qty)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, pa.int64()),
+                "q": pa.array(sums, pa.int64()),
+            }
+        )
+
+    survivors = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty"))
+        .filter(expr="sum_qty > 250")
+        .materialize()
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    if survivors.size_bytes() > key_budget_bytes:
+        joined = orders.join(
+            survivors,
+            join_type="inner",
+            num_partitions=16,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+        return joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "sum_qty": t["sum_qty"],
+                    "total_cents": pc.cast(
+                        pc.floor(
+                            pc.add(
+                                pc.multiply(
+                                    t["o_totalprice"], pa.scalar(100.0)
+                                ),
+                                pa.scalar(0.5),
+                            )
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    surv = pa.concat_tables(
+        [t for t in ray.get(survivors.to_arrow_refs())]
+    )
+    skeys = surv["l_orderkey"].to_numpy() if surv.num_rows else np.empty(0, np.int64)
+    ssums = surv["sum_qty"].to_numpy() if surv.num_rows else np.empty(0, np.int64)
+    order = np.argsort(skeys, kind="stable")
+    lookup_ref = ray.put((skeys[order], ssums[order]))
+
+    def bjoin(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys, sums = cached_get(lookup_ref)
+        ok = t["o_orderkey"].to_numpy()
+        if len(keys) == 0:
+            keep = _np.zeros(len(ok), dtype=bool)
+            pos = _np.zeros(len(ok), dtype=_np.int64)
+        else:
+            pos = _np.minimum(_np.searchsorted(keys, ok), len(keys) - 1)
+            keep = keys[pos] == ok
+        sub = _np.nonzero(keep)[0]
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[sub], pa.int64()),
+                "sum_qty": pa.array(sums[pos[sub]], pa.int64()),
+                "total_cents": pa.array(cents[sub], pa.int64()),
+            }
+        )
+
+    return orders.map_batches(bjoin, batch_format="pyarrow")
+
+
+SQL_LARGE_ORDERS = """
+SELECT o_orderkey,
+       q.sum_qty,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250) q
+  ON o_orderkey = q.l_orderkey
+"""
+
+
+def q_idle_customers(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
+    """Scalar-subquery threshold + ANTI-join (the TPC-H Q22 shape):
+    above-average-balance customers with no order since 2000-09-01,
+    grouped by market segment. The global positive-balance average is
+    never materialized as a float — the filter cross-multiplies exact
+    integers (bal_cents × n_pos > sum_cents), so the threshold is
+    bit-identical to the oracle's. Pass 1 reduces (sum_cents, n_pos)
+    map-side to one tiny row per block (driver-merged, bounded by
+    block count); pass 2 reduces recent-orderer custkeys map-side
+    (bounded by |customer|) and broadcasts sorted for a map-side
+    anti-join — orders, the large side, never shuffles. Beyond
+    ``key_budget_bytes`` the distinct set stays distributed and the
+    anti realizes as a left join + null filter."""
+    import numpy as np
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], pa.scalar(0.0)))
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(pos["c_acctbal"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+                "n": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    # one tiny (s, n) row per block — the driver merge is bounded by
+    # block count, never by |customer|
+    parts = ray.get(
+        cust.map_batches(bal_partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    sum_cents = int(sum(t["s"].to_numpy().sum() for t in parts if t.num_rows))
+    n_pos = int(sum(t["n"].to_numpy().sum() for t in parts if t.num_rows))
+
+    _CUTOFF_US = 967_766_400_000_000  # 2000-09-01 µs
+
+    recent = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.unique(
+                        t.filter(
+                            pc.greater_equal(
+                                pc.cast(t["o_orderdate"], pa.int64()),
+                                pa.scalar(_CUTOFF_US),
+                            )
+                        )["o_custkey"]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def rich_filter(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["c_acctbal"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        t = t.append_column("bal_cents", cents)
+        return t.filter(
+            pc.greater(
+                pc.multiply(t["bal_cents"], pa.scalar(n_pos)),
+                pa.scalar(sum_cents),
+            )
+        )
+
+    rich = cust.map_batches(rich_filter, batch_format="pyarrow")
+
+    if recent.size_bytes() > key_budget_bytes:
+        # the right key column may be coalesced away by the join, so a
+        # dedicated _hit marker carries the match indicator
+        marked = (
+            recent.groupby("o_custkey")
+            .aggregate(Count(alias_name="_hit"))
+        )
+        joined = rich.join(
+            marked,
+            join_type="left_outer",
+            num_partitions=16,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+        idle = joined.map_batches(
+            lambda t: t.filter(pc.is_null(t["_hit"])).select(
+                ["c_custkey", "c_acctbal", "c_mktsegment", "bal_cents"]
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        matched = np.unique(
+            np.concatenate(
+                [t["o_custkey"].to_numpy() for t in ray.get(recent.to_arrow_refs())]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        matched_ref = ray.put(matched)
+
+        def anti(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            from ..functions.broadcast import cached_get
+
+            keys = cached_get(matched_ref)
+            ck = t["c_custkey"].to_numpy()
+            if len(keys) == 0:
+                keep = _np.ones(len(ck), dtype=bool)
+            else:
+                pos = _np.minimum(_np.searchsorted(keys, ck), len(keys) - 1)
+                keep = keys[pos] != ck
+            return t.filter(pa.array(keep, pa.bool_()))
+
+        idle = rich.map_batches(anti, batch_format="pyarrow")
+
+    return idle.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_cust"),
+        Sum("bal_cents", alias_name="bal_cents"),
+    )
+
+
+SQL_IDLE_CUSTOMERS = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+         FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-09-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q_heavy_hitter_words(sf_dir: str, k: int = 200):
+    """Frequent-items (heavy hitters): words with global frequency
+    strictly above 1/k of all tokens, with EXACT final counts. Pass 1
+    emits per-block candidates — words with local count × k > block
+    tokens (the Misra–Gries guarantee by pigeonhole: a global heavy
+    hitter must be a local one in ≥1 block, and each block yields
+    < k candidates, so the candidate set is bounded by blocks × k,
+    never by the vocabulary) — plus one NULL-word marker row carrying
+    the block's token total. Pass 2 broadcasts the candidate set and
+    recounts ONLY those words map-side; a small groupby-sum and the
+    exact threshold filter finish. The full-vocabulary groupby that a
+    naive word count would shuffle never happens."""
+    import numpy as np
+
+    ds = _read_documents(sf_dir)
+
+    def candidates_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(w for w in text.lower().split(" ") if w)
+        total = sum(c.values())
+        words = [w for w, n in c.items() if n * k > total]
+        return pa.table(
+            {
+                "word": pa.array(words + [None], pa.string()),
+                "block_tokens": pa.array(
+                    [0] * len(words) + [total], pa.int64()
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(candidates_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    total_tokens = int(
+        sum(t["block_tokens"].to_numpy(zero_copy_only=False).sum() for t in parts)
+    )
+    cand = sorted(
+        {
+            w
+            for t in parts
+            for w in t["word"].to_pylist()
+            if w is not None
+        }
+    )
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..functions.broadcast import cached_get
+
+        want = set(cached_get(cand_ref))
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(w for w in text.lower().split(" ") if w in want)
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(
+                    pc.multiply(t["n"], pa.scalar(k)),
+                    pa.scalar(total_tokens),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_HEAVY_HITTER_WORDS = """
+WITH w AS (
+  SELECT t.w AS word
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) t
+  WHERE t.w <> ''
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w
+GROUP BY word
+HAVING count(*) * 200 > (SELECT count(*) FROM w)
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
     "extract_e2e": q_extract_e2e,
+    # --- round-4 late batch: newest, least-proven — keep in the
+    # sampled prefix ---
+    "large_orders": q_large_orders,
+    "idle_customers": q_idle_customers,
+    "heavy_hitter_words": q_heavy_hitter_words,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -8163,6 +8549,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "large_orders": SQL_LARGE_ORDERS,
+    "idle_customers": SQL_IDLE_CUSTOMERS,
+    "heavy_hitter_words": SQL_HEAVY_HITTER_WORDS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

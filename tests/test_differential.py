@@ -115,6 +115,7 @@ DIFFERENTIAL_QUERIES = [
     "repetition_stats",
     "gopher_quality",
     "top_words",
+    "heavy_hitter_words",
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
@@ -583,6 +584,8 @@ RELATIONAL_QUERIES = [
     "rollup_revenue",
     "cube_revenue",
     "order_priority_semi",
+    "large_orders",
+    "idle_customers",
 ]
 
 

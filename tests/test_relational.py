@@ -548,3 +548,66 @@ def test_order_priority_semi_regimes_identical(sf_dir):
     joined = rows(key_budget_bytes=0)
     assert broadcast == joined
     assert broadcast and sum(n for _, n in broadcast) > 0
+
+
+def test_large_orders_regimes_identical(sf_dir):
+    """Q18-shape having+join: the broadcast-lookup and distributed
+    hash-join regimes (measured key-budget gate) must agree exactly."""
+    from pdf_to_text_ray.pipelines.queries import q_large_orders
+
+    def rows(**kw):
+        return sorted(
+            (r["o_orderkey"], r["sum_qty"], r["total_cents"])
+            for r in q_large_orders(sf_dir, **kw).take_all()
+        )
+
+    broadcast = rows()
+    joined = rows(key_budget_bytes=0)
+    assert broadcast == joined
+    assert broadcast and all(q > 250 for _, q, _c in broadcast)
+
+
+def test_idle_customers_regimes_identical(sf_dir):
+    """Q22-shape scalar-threshold + anti-join: broadcast anti and
+    left-outer-join-null regimes must agree exactly."""
+    from pdf_to_text_ray.pipelines.queries import q_idle_customers
+
+    def rows(**kw):
+        return sorted(
+            (r["c_mktsegment"], r["n_cust"], r["bal_cents"])
+            for r in q_idle_customers(sf_dir, **kw).take_all()
+        )
+
+    broadcast = rows()
+    joined = rows(key_budget_bytes=0)
+    assert broadcast == joined
+    assert broadcast and sum(n for _, n, _b in broadcast) > 0
+
+
+def test_heavy_hitter_candidates_are_superset(sf_dir):
+    """The per-block frequent-items pass must never drop a true heavy
+    hitter: compare the engine (candidate-restricted recount) against
+    an exact full count at several k, including k large enough that
+    block-local thresholds get tight."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq_
+
+    from pdf_to_text_ray.pipelines.queries import q_heavy_hitter_words
+
+    texts = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    exact: Counter = Counter()
+    for tx in texts:
+        exact.update(w for w in tx.lower().split(" ") if w)
+    total = sum(exact.values())
+    for k in (50, 200, 1000):
+        want = sorted(
+            (w, n) for w, n in exact.items() if n * k > total
+        )
+        got = sorted(
+            (r["word"], r["n"])
+            for r in q_heavy_hitter_words(sf_dir, k=k).take_all()
+        )
+        assert got == want, f"k={k}: engine != exact"
