@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "order_priority_semi",
     "large_orders",
     "idle_customers",
+    "events_ewma",
+    "last_event_value",
+    "user_degree_hist",
     "pagerank",
     "extraction_metrics",
     "dedup_exact",

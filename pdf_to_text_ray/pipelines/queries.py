@@ -8395,6 +8395,125 @@ HAVING count(*) * 200 > (SELECT count(*) FROM w)
 """
 
 
+def q_events_ewma(sf_dir: str):
+    """Order-dependent window fold: final exponential moving average
+    (alpha=1/2) of value per user over (ts, event_id) order. The
+    sequential recurrence unrolls to a weighted sum with exact dyadic
+    0.5**k weights, computed vectorized inside bounded user-hash
+    partitions (relational.ewma) — no per-user Python fold, no global
+    sort. 6-dp rounded (summation order differs from the oracle)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return relational.ewma(events)
+
+
+SQL_EVENTS_EWMA = """
+SELECT user_id,
+       round(sum(value * CASE WHEN rn = 1 THEN pow(0.5, cnt - 1)
+                              ELSE pow(0.5, cnt - rn + 1) END), 6) AS ewma
+FROM (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events) t
+GROUP BY user_id
+"""
+
+
+def q_last_event_value(sf_dir: str):
+    """LAST_VALUE window (distributed argmax by event time) per user:
+    one sort within bounded user-hash partitions, last row of each
+    user run. Selection, not arithmetic — output floats are exact."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return relational.last_value(events)
+
+
+SQL_LAST_EVENT_VALUE = """
+SELECT user_id, value AS last_value
+FROM (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def q_user_degree_hist(sf_dir: str):
+    """Two-level distinct aggregation: distinct active DAYS per user,
+    then the histogram over that degree. The (user, day) pair space
+    dedups map-side per batch (bounded by users × days, not by
+    |events|), packs into one int64 key for a single bounded-partition
+    distinct (the packed-key reduce — never a multi-column groupby on
+    a fact table), and both the per-user count and the final histogram
+    are tiny groupbys over already-reduced rows."""
+    import numpy as np
+
+    _DAY_US = 86_400_000_000
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        uid = t["user_id"].to_numpy()
+        day = _np.floor_divide(
+            pc.cast(t["ts"], pa.int64()).to_numpy(), _DAY_US
+        )
+        # pack (user, day): day fits 21 bits past-epoch for millennia;
+        # user ids must stay under 2^42 for the packed key
+        key = _np.unique(uid * (1 << 21) + day)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                # partition by USER (key >> 21), never by packed key —
+                # one user's days must co-locate for the degree count
+                "part": pa.array(
+                    (
+                        (key >> 21)
+                        & (relational.NUM_EVENT_PARTITIONS - 1)
+                    ).astype(_np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def degree_partition(df) -> pa.Table:
+        import numpy as _np
+
+        keys = _np.unique(df["key"].to_numpy())
+        users, counts = _np.unique(keys >> 21, return_counts=True)
+        deg, n_users = _np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "deg": pa.array(deg.astype(_np.int64), pa.int64()),
+                "n": pa.array(n_users.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return (
+        events.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(degree_partition, batch_format="pandas")
+        .groupby("deg")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+SQL_USER_DEGREE_HIST = """
+SELECT deg, CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT user_id,
+             CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS deg
+      FROM events GROUP BY user_id) t
+GROUP BY deg
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -8404,6 +8523,9 @@ QUERIES = {
     "large_orders": q_large_orders,
     "idle_customers": q_idle_customers,
     "heavy_hitter_words": q_heavy_hitter_words,
+    "events_ewma": q_events_ewma,
+    "last_event_value": q_last_event_value,
+    "user_degree_hist": q_user_degree_hist,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -8552,6 +8674,9 @@ ORACLE_SQL = {
     "large_orders": SQL_LARGE_ORDERS,
     "idle_customers": SQL_IDLE_CUSTOMERS,
     "heavy_hitter_words": SQL_HEAVY_HITTER_WORDS,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "last_event_value": SQL_LAST_EVENT_VALUE,
+    "user_degree_hist": SQL_USER_DEGREE_HIST,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

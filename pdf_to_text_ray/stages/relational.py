@@ -277,6 +277,96 @@ def funnel_conversion(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _ewma_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-partition of users -> final EWMA (alpha=1/2) of value
+    over (ts, event_id) order, fully vectorized: one sort, per-user
+    ranks off the run boundaries, dyadic 0.5**k weights (exact in
+    float64), one np.add.reduceat per partition. The recurrence
+    EWMA_t = (EWMA_{t-1} + v_t)/2 with EWMA_1 = v_1 unrolls to
+    w_1 = 0.5^(n-1), w_t = 0.5^(n-t+1) for t >= 2 — a weighted dot
+    product, no sequential Python fold. 6-dp rounded (float sum order
+    differs from the oracle's)."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], "int64"),
+                "ewma": pd.array([], "float64"),
+            }
+        )
+    uid = df["user_id"].to_numpy()
+    val = df["value"].to_numpy()
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new_user)
+    user_idx = np.cumsum(new_user) - 1
+    counts = np.diff(np.concatenate((starts, [n])))
+    rank = np.arange(n) - starts[user_idx] + 1  # 1-based within user
+    n_u = counts[user_idx]
+    exps = n_u - rank + 1
+    exps[rank == 1] = n_u[rank == 1] - 1
+    # 0.5**k is exact dyadic; underflows to 0 beyond k~1074, where the
+    # contribution is below any representable difference anyway
+    contrib = val * np.power(0.5, exps.astype("float64"))
+    sums = np.add.reduceat(contrib, starts)
+    return pd.DataFrame(
+        {
+            "user_id": pd.array(uid[starts], "int64"),
+            "ewma": np.round(sums, 6),
+        }
+    )
+
+
+def ewma(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user exponential moving average (order-dependent window
+    fold) — users hashed into NUM_EVENT_PARTITIONS bounded partitions,
+    the fold computed as a vectorized weighted sum within each."""
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_ewma_partition, batch_format="pandas")
+    )
+
+
+def _last_value_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-partition of users -> LAST_VALUE(value) by (ts,
+    event_id): one sort, last row of each user run — the distributed
+    argmax shape (selection, not arithmetic: output floats are exact)."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], "int64"),
+                "last_value": pd.array([], "float64"),
+            }
+        )
+    uid = df["user_id"].to_numpy()
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new_user)
+    lasts = np.concatenate((starts[1:] - 1, [n - 1]))
+    return pd.DataFrame(
+        {
+            "user_id": pd.array(uid[starts], "int64"),
+            "last_value": df["value"].to_numpy()[lasts],
+        }
+    )
+
+
+def last_value(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user LAST_VALUE window (argmax by event time) over bounded
+    user-hash partitions."""
+    return (
+        events.map_batches(add_user_part, batch_format="pyarrow")
+        .groupby("user_part")
+        .map_groups(_last_value_partition, batch_format="pandas")
+    )
+
+
 def _markov_partition(df: pd.DataFrame) -> pd.DataFrame:
     """One user-hash partition -> (from_type, to_type, n) transition
     counts over each user's (ts, event_id)-ordered event sequence:

@@ -339,6 +339,9 @@ EVENT_QUERIES = [
     "markov_transitions",
     "interval_coverage",
     "running_distinct",
+    "events_ewma",
+    "last_event_value",
+    "user_degree_hist",
 ]
 
 EMBEDDING_QUERIES = [

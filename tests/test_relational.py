@@ -611,3 +611,56 @@ def test_heavy_hitter_candidates_are_superset(sf_dir):
             for r in q_heavy_hitter_words(sf_dir, k=k).take_all()
         )
         assert got == want, f"k={k}: engine != exact"
+
+
+def test_ewma_partition_matches_sequential_fold():
+    """The vectorized weighted-sum unroll must equal the literal
+    EWMA recurrence, including 1-event users and cross-user runs."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from pdf_to_text_ray.stages.relational import _ewma_partition
+
+    T0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 7, 3.0, T0),
+        (2, 7, 5.0, T0 + timedelta(seconds=1)),
+        (3, 7, 9.0, T0 + timedelta(seconds=2)),
+        (4, 8, 2.5, T0),                      # single-event user
+        (5, 9, 1.0, T0 + timedelta(seconds=5)),
+        (6, 9, 4.0, T0 + timedelta(seconds=4)),  # out of order in input
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+    df = df.astype({"event_id": "int64", "user_id": "int64"})
+    out = _ewma_partition(df).set_index("user_id")["ewma"]
+
+    def fold(vals):
+        e = vals[0]
+        for v in vals[1:]:
+            e = 0.5 * e + 0.5 * v
+        return round(e, 6)
+
+    assert out[7] == fold([3.0, 5.0, 9.0])
+    assert out[8] == fold([2.5])
+    assert out[9] == fold([4.0, 1.0])  # ts order, not input order
+
+
+def test_last_value_partition_boundaries():
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from pdf_to_text_ray.stages.relational import _last_value_partition
+
+    T0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 3, 1.0, T0),
+        (2, 3, 2.0, T0),                      # ts tie -> event_id breaks
+        (3, 4, 7.0, T0 + timedelta(seconds=9)),
+        (4, 4, 8.0, T0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+    df = df.astype({"event_id": "int64", "user_id": "int64"})
+    out = _last_value_partition(df).set_index("user_id")["last_value"]
+    assert out[3] == 2.0 and out[4] == 7.0
