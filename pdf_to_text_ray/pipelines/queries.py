@@ -8038,17 +8038,39 @@ def q_large_orders(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
             {
                 "l_orderkey": pa.array(keys, pa.int64()),
                 "q": pa.array(sums, pa.int64()),
+                "part": pa.array(
+                    (keys & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
             }
         )
 
+    def having_partition(df) -> pa.Table:
+        import numpy as _np
+
+        keys, inv = _np.unique(df["l_orderkey"].to_numpy(), return_inverse=True)
+        sums = _np.zeros(len(keys), dtype=_np.int64)
+        _np.add.at(sums, inv, df["q"].to_numpy())
+        keep = sums > 250
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys[keep], pa.int64()),
+                "sum_qty": pa.array(sums[keep], pa.int64()),
+            }
+        )
+
+    # per-order sums reduce through bounded key-hash partitions (the
+    # packed-key map_groups reduce — Ray's groupby.aggregate on a
+    # 100k+-key fact table costs a full shuffle generation more)
     survivors = (
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
         )
         .map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("q", alias_name="sum_qty"))
-        .filter(expr="sum_qty > 250")
+        .groupby("part")
+        .map_groups(having_partition, batch_format="pandas")
         .materialize()
     )
     orders = ray.data.read_parquet(
@@ -8082,11 +8104,18 @@ def q_large_orders(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
             ),
             batch_format="pyarrow",
         )
-    surv = pa.concat_tables(
-        [t for t in ray.get(survivors.to_arrow_refs())]
-    )
-    skeys = surv["l_orderkey"].to_numpy() if surv.num_rows else np.empty(0, np.int64)
-    ssums = surv["sum_qty"].to_numpy() if surv.num_rows else np.empty(0, np.int64)
+    surv_blocks = [
+        t.select(["l_orderkey", "sum_qty"])
+        for t in ray.get(survivors.to_arrow_refs())
+        if t.num_rows
+    ]
+    if surv_blocks:
+        surv = pa.concat_tables(surv_blocks)
+        skeys = surv["l_orderkey"].to_numpy()
+        ssums = surv["sum_qty"].to_numpy()
+    else:
+        skeys = np.empty(0, np.int64)
+        ssums = np.empty(0, np.int64)
     order = np.argsort(skeys, kind="stable")
     lookup_ref = ray.put((skeys[order], ssums[order]))
 
