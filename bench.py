@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "heavy_hitter_words",
     "quality",
     "lang_percentiles",
+    "lang_quantile_cont",
+    "above_avg_docs",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

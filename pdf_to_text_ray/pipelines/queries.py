@@ -8543,6 +8543,114 @@ GROUP BY deg
 """
 
 
+def q_above_avg_docs(sf_dir: str):
+    """Correlated scalar subquery, decorrelated: docs longer than
+    their OWN language's average length, counted per language. The
+    per-lang (sum, count) moments fold out of the shared (lang,
+    n_chars) histogram (no second corpus scan beyond the histogram
+    partials), broadcast as a tiny dict, and the comparison
+    cross-multiplies exact integers (n_chars × cnt > sum) — the float
+    average never exists on either side."""
+    import numpy as np
+
+    ds, hist = _lang_length_hist(sf_dir)
+    moments = {
+        lang: (
+            int((g["n_chars"].to_numpy() * g["n"].to_numpy()).sum()),
+            int(g["n"].sum()),
+        )
+        for lang, g in hist.groupby("lang", sort=False)
+    }
+    mom_ref = ray.put(moments)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        mom = cached_get(mom_ref)
+        langs = t["lang"].to_pylist()
+        nc = t["n_chars"].to_numpy()
+        sums = _np.array([mom[l][0] for l in langs], dtype=_np.int64)
+        cnts = _np.array([mom[l][1] for l in langs], dtype=_np.int64)
+        above = nc * cnts > sums
+        ul, inv = _np.unique(_np.asarray(langs, dtype=object), return_inverse=True)
+        n_above = _np.zeros(len(ul), dtype=_np.int64)
+        _np.add.at(n_above, inv, above.astype(_np.int64))
+        keep = n_above > 0
+        return pa.table(
+            {
+                "lang": pa.array(list(ul[keep]), pa.string()),
+                "n": pa.array(n_above[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_above"))
+    )
+
+
+SQL_ABOVE_AVG_DOCS = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_above
+FROM documents d
+WHERE CAST(n_chars AS BIGINT)
+      * (SELECT count(*) FROM documents WHERE lang = d.lang)
+      > (SELECT sum(CAST(n_chars AS BIGINT)) FROM documents
+         WHERE lang = d.lang)
+GROUP BY lang
+"""
+
+
+def q_lang_quantile_cont(sf_dir: str):
+    """INTERPOLATED per-language percentiles (quantile_cont / SQL
+    percentile_cont): same zero-sort histogram reduce as the _disc
+    variant, but the driver read-off applies the linear-interpolation
+    rule h = p·(n−1), v = v_lo + (h−⌊h⌋)·(v_hi − v_lo). 6-dp rounded
+    (interpolation arithmetic, not a selection)."""
+    import numpy as np
+
+    _, hist = _lang_length_hist(sf_dir)
+    out: dict[str, list] = {"lang": [], "p25": [], "p50": [], "p90": []}
+    for lang, g in hist.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy().astype(np.float64)
+        cum = np.cumsum(g["n"].to_numpy())
+        n = int(cum[-1])
+
+        def at(i: int) -> float:
+            return float(vals[np.searchsorted(cum, i + 1)])
+
+        out["lang"].append(lang)
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            h = p * (n - 1)
+            lo = int(np.floor(h))
+            frac = h - lo
+            v = at(lo) if frac == 0.0 else at(lo) + frac * (at(lo + 1) - at(lo))
+            out[col].append(round(v, 6))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            **{
+                c: pa.array(out[c], pa.float64())
+                for c in ("p25", "p50", "p90")
+            },
+        }
+    )
+
+
+SQL_LANG_QUANTILE_CONT = """
+SELECT lang,
+  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+  round(quantile_cont(n_chars, 0.90), 6) AS p90
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -8555,6 +8663,8 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "last_event_value": q_last_event_value,
     "user_degree_hist": q_user_degree_hist,
+    "above_avg_docs": q_above_avg_docs,
+    "lang_quantile_cont": q_lang_quantile_cont,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -8706,6 +8816,8 @@ ORACLE_SQL = {
     "events_ewma": SQL_EVENTS_EWMA,
     "last_event_value": SQL_LAST_EVENT_VALUE,
     "user_degree_hist": SQL_USER_DEGREE_HIST,
+    "above_avg_docs": SQL_ABOVE_AVG_DOCS,
+    "lang_quantile_cont": SQL_LANG_QUANTILE_CONT,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

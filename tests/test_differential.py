@@ -116,6 +116,8 @@ DIFFERENTIAL_QUERIES = [
     "gopher_quality",
     "top_words",
     "heavy_hitter_words",
+    "above_avg_docs",
+    "lang_quantile_cont",
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
