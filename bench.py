@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "lang_percentiles",
     "lang_quantile_cont",
     "above_avg_docs",
+    "supplier_wait_blame",
+    "nation_pair_volume",
+    "event_paths",
+    "lang_source_chi2",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

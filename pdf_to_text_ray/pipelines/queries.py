@@ -8651,6 +8651,508 @@ FROM documents GROUP BY lang
 """
 
 
+# (order, supplier) packed-key bit budget: suppkey in the low 20 bits,
+# orderkey above — holds to ~4M suppliers / 2^43 orders; beyond that
+# widen to two int64 columns + a tuple sort (same reduce shape).
+_SUPP_BITS = 20
+_SUPP_MASK = (1 << _SUPP_BITS) - 1
+
+
+def q_supplier_wait_blame(sf_dir: str):
+    """EXISTS / NOT-EXISTS composite over one fact table (the TPC-H
+    Q21 shape, restated for this schema's columns): on every order
+    with >=2 distinct suppliers, blame the supplier whose latest line
+    ships STRICTLY after every other supplier's lines; count blames
+    per supplier. Per-(order,supplier) ship-date maxima reduce
+    map-side (bounded by order x supplier pairs, not |lineitem|),
+    pack into one int64 key, and the blame selection is a single
+    lexsort + run-boundary compare inside bounded order-hash
+    partitions — lineitem never shuffles raw, and both EXISTS checks
+    collapse into the run-length / strict-max test. Supplier names
+    join via a broadcast dict (dimension table)."""
+    import numpy as np
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ok = t["l_orderkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+        key, inv = _np.unique(ok * (1 << _SUPP_BITS) + sk, return_inverse=True)
+        m = _np.full(len(key), _np.iinfo(_np.int64).min, dtype=_np.int64)
+        _np.maximum.at(m, inv, ship)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "m": pa.array(m, pa.int64()),
+                # partition by ORDER (key >> bits) — one order's
+                # suppliers must co-locate for the strict-max compare
+                "part": pa.array(
+                    (
+                        (key >> _SUPP_BITS)
+                        & (relational.NUM_EVENT_PARTITIONS - 1)
+                    ).astype(_np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def blame_partition(df) -> pa.Table:
+        import numpy as _np
+
+        key = df["key"].to_numpy()
+        mv = df["m"].to_numpy()
+        uk, inv = _np.unique(key, return_inverse=True)
+        mm = _np.full(len(uk), _np.iinfo(_np.int64).min, dtype=_np.int64)
+        _np.maximum.at(mm, inv, mv)
+        orders = uk >> _SUPP_BITS
+        sup = uk & _SUPP_MASK
+        idx = _np.lexsort((sup, mm, orders))
+        o2, m2, s2 = orders[idx], mm[idx], sup[idx]
+        starts = _np.r_[0, _np.nonzero(_np.diff(o2))[0] + 1]
+        ends = _np.r_[starts[1:], len(o2)] - 1
+        multi = ends > starts  # >=2 suppliers on the order
+        strict = _np.zeros(len(starts), dtype=bool)
+        strict[multi] = m2[ends[multi]] > m2[ends[multi] - 1]
+        blamed = s2[ends[strict]]
+        sups, cnt = _np.unique(blamed, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sups.astype(_np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    name_ref = ray.put(
+        dict(zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist()))
+    )
+
+    def add_name(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+
+        names = cached_get(name_ref)
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_name": pa.array(
+                    [names[k] for k in t["s_suppkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "numwait": t["numwait"],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+        .map_batches(max_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(blame_partition, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+        .map_batches(add_name, batch_format="pyarrow")
+    )
+
+
+SQL_SUPPLIER_WAIT_BLAME = """
+WITH sm AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS m
+  FROM lineitem GROUP BY l_orderkey, l_suppkey)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier JOIN (
+  SELECT l_orderkey, l_suppkey FROM sm s1
+  WHERE EXISTS (SELECT 1 FROM sm s2
+                WHERE s2.l_orderkey = s1.l_orderkey
+                  AND s2.l_suppkey <> s1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM sm s3
+                    WHERE s3.l_orderkey = s1.l_orderkey
+                      AND s3.l_suppkey <> s1.l_suppkey
+                      AND s3.m >= s1.m)
+) b ON b.l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+def q_nation_pair_volume(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
+    """Fact-fact join folded to a broadcast (the TPC-H Q7 shape):
+    revenue between (supplier nation, customer nation) pairs by ship
+    year. The supplier and customer dimension chains collapse into
+    nation-code lookups; the orders->customer-nation map (one int8
+    per order) broadcasts when the parquet METADATA row count says it
+    fits ``key_budget_bytes`` (no data read on the gate), else
+    lineitem partials join it distributed (Dataset.join) — the
+    measured-budget regime pattern of q_large_orders. Either way the
+    group key packs (supp_nation, cust_nation, year) into one small
+    int so the final aggregate is a tiny single-column groupby.
+    Revenue follows the repo's exact-integer recipe: cents x
+    (10000 - discount_bp), no float sums."""
+    import numpy as np
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk2name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = np.asarray(supp["s_suppkey"].to_pylist(), dtype=np.int64)
+    s_order = np.argsort(sk, kind="stable")
+    supp_keys = sk[s_order]
+    supp_nat = np.asarray(supp["s_nationkey"].to_pylist(), dtype=np.int16)[
+        s_order
+    ]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    c2n = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    broadcast_orders = n_orders * 10 <= key_budget_bytes
+
+    def order_nat_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        cmap = cached_get(cust_ref)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cnat": pa.array(
+                    _np.asarray(
+                        [cmap[c] for c in t["o_custkey"].to_pylist()],
+                        dtype=_np.int16,
+                    ),
+                    pa.int16(),
+                ),
+            }
+        )
+
+    cust_ref = ray.put(c2n)
+    _YEAR0 = 1970
+
+    def line_partial(t: pa.Table, okeys, onat) -> pa.Table:
+        """Reduce a lineitem batch to packed (snat,cnat,year)->revenue
+        partials; `okeys`/`onat` is the sorted order->nation lookup
+        (None on the distributed-join path, where cnat is a column)."""
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        skeys, snat = cached_get(supp_ref)
+        lsk = t["l_suppkey"].to_numpy()
+        pos = _np.searchsorted(skeys, lsk)
+        pos = _np.minimum(pos, len(skeys) - 1)
+        sn = snat[pos].astype(_np.int64)
+        if okeys is not None:
+            ok = t["l_orderkey"].to_numpy()
+            cpos = _np.searchsorted(okeys, ok)
+            cpos = _np.minimum(cpos, len(okeys) - 1)
+            cn = onat[cpos].astype(_np.int64)
+        else:
+            cn = t["cnat"].to_numpy().astype(_np.int64)
+        year = pc.year(t["l_shipdate"]).to_numpy().astype(_np.int64)
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        bp = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["l_discount"], pa.scalar(10000.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        rev = cents * (10000 - bp)
+        k = (sn << 20) | (cn << 8) | (year - _YEAR0)
+        uk, inv = _np.unique(k, return_inverse=True)
+        sums = _np.zeros(len(uk), dtype=_np.int64)
+        _np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "k": pa.array(uk, pa.int64()),
+                "rev": pa.array(sums, pa.int64()),
+            }
+        )
+
+    supp_ref = ray.put((supp_keys, supp_nat))
+    line_cols = [
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+    ]
+    if broadcast_orders:
+        orders = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        okeys = np.asarray(orders["o_orderkey"].to_pylist(), dtype=np.int64)
+        o_order = np.argsort(okeys, kind="stable")
+        okeys = okeys[o_order]
+        onat = np.asarray(
+            [c2n[c] for c in orders["o_custkey"].to_pylist()],
+            dtype=np.int16,
+        )[o_order]
+        lut_ref = ray.put((okeys, onat))
+
+        def partial_bcast(t: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+
+            ok, on = cached_get(lut_ref)
+            return line_partial(t, ok, on)
+
+        reduced = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=line_cols
+        ).map_batches(partial_bcast, batch_format="pyarrow")
+    else:
+        ord_nat = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(order_nat_partial, batch_format="pyarrow")
+        joined = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=line_cols
+        ).join(
+            ord_nat,
+            join_type="inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        reduced = joined.map_batches(
+            lambda t: line_partial(t, None, None), batch_format="pyarrow"
+        )
+
+    rows = (
+        reduced.groupby("k")
+        .aggregate(Sum("rev", alias_name="revenue_cbp"))
+        .take_all()  # bounded: nations^2 x years distinct keys
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [nk2name[r["k"] >> 20] for r in rows], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [nk2name[(r["k"] >> 8) & 0xFFF] for r in rows], pa.string()
+            ),
+            "yr": pa.array(
+                [(r["k"] & 0xFF) + _YEAR0 for r in rows], pa.int64()
+            ),
+            "revenue_cbp": pa.array(
+                [r["revenue_cbp"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_NATION_PAIR_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS yr,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+       AS BIGINT) AS revenue_cbp
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_event_paths(sf_dir: str):
+    """Ordered string aggregation per key (SQL string_agg ... ORDER
+    BY): each user's first 8 event-type initials in (ts, event_id)
+    order, histogrammed over the resulting path strings. Events
+    shuffle ONCE as skinny columns (user, ts_us, event_id, one uint32
+    initial — no strings) into bounded user-hash partitions; within a
+    partition one lexsort + run-rank keeps rank<8, a dense (user x 8)
+    byte matrix assembles the paths, and only the tiny (path, count)
+    histogram leaves the partition."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        first = (
+            t["event_type"]
+            .to_numpy(zero_copy_only=False)
+            .astype("U1")
+            .view(_np.uint32)
+        )
+        uid = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(uid, pa.int64()),
+                "part": pa.array(
+                    (uid & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+                "ts_us": pa.array(
+                    pc.cast(t["ts"], pa.int64()).to_numpy(), pa.int64()
+                ),
+                "eid": pa.array(t["event_id"], pa.int64()),
+                "c": pa.array(first, pa.uint32()),
+            }
+        )
+
+    def paths_partition(df) -> pa.Table:
+        import numpy as _np
+
+        u = df["u"].to_numpy()
+        idx = _np.lexsort(
+            (df["eid"].to_numpy(), df["ts_us"].to_numpy(), u)
+        )
+        u2 = u[idx]
+        c2 = df["c"].to_numpy()[idx].astype(_np.uint8)
+        new = _np.r_[True, u2[1:] != u2[:-1]]
+        gidx = _np.cumsum(new) - 1
+        starts = _np.nonzero(new)[0]
+        rank = _np.arange(len(u2)) - starts[gidx]
+        keep = rank < 8
+        n_users = len(starts)
+        mat = _np.zeros((n_users, 8), dtype=_np.uint8)
+        mat[gidx[keep], rank[keep]] = c2[keep]
+        lens = _np.minimum(_np.bincount(gidx, minlength=n_users), 8)
+        raw = mat.tobytes()
+        # loop over USERS (reduced cardinality), not events
+        paths = _np.array(
+            [
+                raw[i * 8 : i * 8 + lens[i]].decode("ascii")
+                for i in range(n_users)
+            ],
+            dtype=object,
+        )
+        up, cnt = _np.unique(paths, return_counts=True)
+        return pa.table(
+            {
+                "path": pa.array(list(up), pa.string()),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(paths_partition, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+SQL_EVENT_PATHS = """
+WITH ranked AS (
+  SELECT user_id, substr(event_type, 1, 1) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+paths AS (
+  SELECT user_id, string_agg(c, '' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 8 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+"""
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """Chi-square independence statistic between two categorical
+    columns (lang x source): per-batch contingency partials (cell
+    cardinality langs x sources, not |docs|) reduce through one tiny
+    groupby; the driver folds marginals out of the cell table and
+    evaluates sum((obs-exp)^2/exp) in float64 with the same
+    expression the oracle uses, 6-dp rounded. Single-row output."""
+    import numpy as np
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        cells = _np.char.add(
+            _np.char.add(langs.astype(str), "\x1f"), srcs.astype(str)
+        )
+        uc, cnt = _np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(list(uc), pa.string()),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+        )
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: langs x sources cells
+    )
+    langs: dict[str, float] = {}
+    srcs: dict[str, float] = {}
+    tot = 0.0
+    obs = []
+    for r in rows:
+        l, s = r["cell"].split("\x1f", 1)
+        n = float(r["n"])
+        obs.append((l, s, n))
+        langs[l] = langs.get(l, 0.0) + n
+        srcs[s] = srcs.get(s, 0.0) + n
+        tot += n
+    chi2 = 0.0
+    for l, s, n in obs:
+        exp = langs[l] * srcs[s] / tot
+        chi2 += (n - exp) ** 2 / exp
+    dof = (len(langs) - 1) * (len(srcs) - 1)
+    return pa.table(
+        {
+            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "dof": pa.array([dof], pa.int64()),
+        }
+    )
+
+
+SQL_LANG_SOURCE_CHI2 = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY lang, source),
+r AS (SELECT lang, sum(n) AS rn FROM c GROUP BY lang),
+co AS (SELECT source, sum(n) AS cn FROM c GROUP BY source),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT
+  round(sum(pow(c.n - r.rn * co.cn / t.tot, 2)
+            / (r.rn * co.cn / t.tot)), 6) AS chi2,
+  CAST((SELECT count(DISTINCT lang) - 1 FROM documents)
+       * (SELECT count(DISTINCT source) - 1 FROM documents)
+       AS BIGINT) AS dof
+FROM c, r, co, t
+WHERE c.lang = r.lang AND c.source = co.source
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -8665,6 +9167,10 @@ QUERIES = {
     "user_degree_hist": q_user_degree_hist,
     "above_avg_docs": q_above_avg_docs,
     "lang_quantile_cont": q_lang_quantile_cont,
+    "supplier_wait_blame": q_supplier_wait_blame,
+    "nation_pair_volume": q_nation_pair_volume,
+    "event_paths": q_event_paths,
+    "lang_source_chi2": q_lang_source_chi2,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -8818,6 +9324,10 @@ ORACLE_SQL = {
     "user_degree_hist": SQL_USER_DEGREE_HIST,
     "above_avg_docs": SQL_ABOVE_AVG_DOCS,
     "lang_quantile_cont": SQL_LANG_QUANTILE_CONT,
+    "supplier_wait_blame": SQL_SUPPLIER_WAIT_BLAME,
+    "nation_pair_volume": SQL_NATION_PAIR_VOLUME,
+    "event_paths": SQL_EVENT_PATHS,
+    "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

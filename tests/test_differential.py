@@ -118,6 +118,7 @@ DIFFERENTIAL_QUERIES = [
     "heavy_hitter_words",
     "above_avg_docs",
     "lang_quantile_cont",
+    "lang_source_chi2",
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
@@ -344,6 +345,7 @@ EVENT_QUERIES = [
     "events_ewma",
     "last_event_value",
     "user_degree_hist",
+    "event_paths",
 ]
 
 EMBEDDING_QUERIES = [
@@ -591,6 +593,8 @@ RELATIONAL_QUERIES = [
     "order_priority_semi",
     "large_orders",
     "idle_customers",
+    "supplier_wait_blame",
+    "nation_pair_volume",
 ]
 
 

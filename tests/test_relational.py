@@ -567,6 +567,24 @@ def test_large_orders_regimes_identical(sf_dir):
     assert broadcast and all(q > 250 for _, q, _c in broadcast)
 
 
+def test_nation_pair_volume_regimes_identical(sf_dir):
+    """Q7-shape fact-fact join: the broadcast order->nation lookup
+    and the distributed Dataset.join regimes (metadata-row-count
+    budget gate) must agree exactly."""
+    from pdf_to_text_ray.pipelines.queries import q_nation_pair_volume
+
+    def rows(**kw):
+        t = q_nation_pair_volume(sf_dir, **kw)
+        return sorted(
+            zip(*(t[c].to_pylist() for c in t.column_names))
+        )
+
+    broadcast = rows()
+    joined = rows(key_budget_bytes=0)
+    assert broadcast == joined
+    assert broadcast and all(r[-1] > 0 for r in broadcast)
+
+
 def test_idle_customers_regimes_identical(sf_dir):
     """Q22-shape scalar-threshold + anti-join: broadcast anti and
     left-outer-join-null regimes must agree exactly."""
