@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "nation_pair_volume",
     "event_paths",
     "lang_source_chi2",
+    "click_except_high_value",
+    "winsorized_mean",
+    "region_price_quantiles",
+    "spearman_len_tokens",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

@@ -9153,6 +9153,425 @@ WHERE c.lang = r.lang AND c.source = co.source
 """
 
 
+def q_click_except_high_value(sf_dir: str):
+    """Set EXCEPT between two derived distinct sets (clickers minus
+    users with any click valued > 200), as a bitmask OR-reduce: each
+    batch folds its events into per-user presence bits (bounded by
+    users in the batch, not events), bits OR-merge inside bounded
+    user-hash partitions, and the EXCEPT is a bit test — no
+    distinct-shuffle of either operand and no join."""
+    import numpy as np
+
+    def bits_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        mask = et == "click"
+        uid = t["user_id"].to_numpy()[mask]
+        b = _np.where(
+            t["value"].to_numpy()[mask] > 200.0, 3, 1
+        ).astype(_np.int64)
+        users, inv = _np.unique(uid, return_inverse=True)
+        bits = _np.zeros(len(users), dtype=_np.int64)
+        _np.bitwise_or.at(bits, inv, b)
+        return pa.table(
+            {
+                "u": pa.array(users, pa.int64()),
+                "bits": pa.array(bits, pa.int64()),
+                "part": pa.array(
+                    (users & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def except_partition(df) -> pa.Table:
+        import numpy as _np
+
+        users, inv = _np.unique(df["u"].to_numpy(), return_inverse=True)
+        bits = _np.zeros(len(users), dtype=_np.int64)
+        _np.bitwise_or.at(bits, inv, df["bits"].to_numpy())
+        keep = bits == 1  # clicked, never above the value bar
+        return pa.table({"user_id": pa.array(users[keep], pa.int64())})
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        )
+        .map_batches(bits_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(except_partition, batch_format="pandas")
+    )
+
+
+SQL_CLICK_EXCEPT_HIGH_VALUE = """
+SELECT CAST(user_id AS BIGINT) AS user_id
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT CAST(user_id AS BIGINT) AS user_id
+FROM events WHERE event_type = 'click' AND value > 200
+"""
+
+
+def q_winsorized_mean(sf_dir: str):
+    """Winsorized (p05/p95-clamped) mean length per language — a
+    robust-statistics gate. The ENTIRE statistic folds out of the
+    shared (lang, n_chars) histogram: the clamp bounds read off the
+    CDF (quantile_disc rule) and the clamped sum is an exact integer
+    dot product over histogram cells — no second corpus scan, no
+    sort. One float division per lang, 6-dp, mirrored by the
+    oracle."""
+    import numpy as np
+
+    _, hist = _lang_length_hist(sf_dir)
+    out: dict[str, list] = {"lang": [], "wmean": []}
+    for lang, g in hist.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cnts = g["n"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+
+        def disc(p: float) -> int:
+            idx = int(np.ceil(p * n)) - 1  # 0-based percentile_disc rule
+            return int(vals[np.searchsorted(cum, idx + 1)])
+
+        lo, hi = disc(0.05), disc(0.95)
+        clipped = np.clip(vals, lo, hi)
+        s = int((clipped * cnts).sum())
+        out["lang"].append(lang)
+        out["wmean"].append(round(s / n, 6))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "wmean": pa.array(out["wmean"], pa.float64()),
+        }
+    )
+
+
+SQL_WINSORIZED_MEAN = """
+WITH q AS (
+  SELECT lang,
+         CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS lo,
+         CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS hi
+  FROM documents GROUP BY lang)
+SELECT d.lang,
+  round(CAST(sum(greatest(q.lo, least(q.hi, CAST(d.n_chars AS BIGINT))))
+             AS DOUBLE) / count(*), 6) AS wmean
+FROM documents d JOIN q ON d.lang = q.lang
+GROUP BY d.lang
+"""
+
+
+def q_region_price_quantiles(sf_dir: str):
+    """Quantiles over a JOINED fact table (order totalprice p50/p90
+    per region) with neither a shuffle join nor a sort: the
+    customer->nation->region dimension chain collapses to one
+    broadcast custkey->region lookup (the q_revenue_by_region
+    pattern), orders reduce map-side to a (region, price_cents)
+    histogram, and the driver reads the quantile_disc rule off each
+    region's CDF. Output in exact integer cents (a selection, no
+    arithmetic)."""
+    import numpy as np
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    r2n = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    custkeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    order_idx = np.argsort(custkeys, kind="stable")
+    sorted_keys = custkeys[order_idx]
+    names = [r2n[n2r[n]] for n in cust["c_nationkey"].to_pylist()]
+    sorted_names = [names[i] for i in order_idx]
+    lookup_ref = ray.put((sorted_keys, sorted_names))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pandas as _pd
+
+        from ..functions.broadcast import cached_get
+
+        keys, rnames = cached_get(lookup_ref)
+        ck = t["o_custkey"].to_numpy()
+        pos = _np.minimum(_np.searchsorted(keys, ck), len(keys) - 1)
+        found = keys[pos] == ck
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        sub = _np.nonzero(found)[0]
+        df = _pd.DataFrame(
+            {
+                "r_name": [rnames[pos[i]] for i in sub],
+                "cents": cents[sub],
+            }
+        )
+        g = df.groupby(["r_name", "cents"], sort=False).size().reset_index(
+            name="n"
+        )
+        return pa.table(
+            {
+                "r_name": pa.array(g["r_name"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["r_name", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: regions x distinct cent values
+    )
+    out: dict[str, list] = {"r_name": [], "p50_cents": [], "p90_cents": []}
+    for rname, g in hist.groupby("r_name", sort=True):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        n = int(cum[-1])
+        out["r_name"].append(rname)
+        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+            idx = int(np.ceil(p * n)) - 1
+            out[col].append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table(
+        {
+            "r_name": pa.array(out["r_name"], pa.string()),
+            "p50_cents": pa.array(out["p50_cents"], pa.int64()),
+            "p90_cents": pa.array(out["p90_cents"], pa.int64()),
+        }
+    )
+
+
+SQL_REGION_PRICE_QUANTILES = """
+WITH oc AS (
+  SELECT r_name,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey)
+SELECT r_name,
+  CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+  CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents
+FROM oc GROUP BY r_name
+"""
+
+
+# Exact-integer Spearman moment budget: sxx <= 4n^3 must fit int64,
+# so the exact regime holds to ~1.3M docs; beyond it the moment
+# partials switch to float64 (the standard large-n practice — ranks
+# are already ties-averaged half-integers x2).
+_SPEARMAN_EXACT_MAX = 1 << 20
+
+
+def q_spearman_len_tokens(sf_dir: str):
+    """Spearman rank correlation between doc length and token count
+    WITHOUT a global sort: one scan reduces the corpus to a joint
+    (n_chars, n_tokens) histogram (packed int64 key, bounded
+    key-hash partitions); the tiny marginal CDFs become
+    ties-averaged rank maps (doubled to stay integer: R2 = 2*less +
+    cnt + 1); a second pass over the HISTOGRAM (never the corpus)
+    accumulates exact integer moments, and the final Pearson-on-ranks
+    expression is the same float64 arithmetic the oracle runs."""
+    import numpy as np
+
+    _TOK_BITS = 25  # token counts < 2^25; lengths < 2^38 above them
+
+    def joint_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        x = t["n_chars"].to_numpy()
+        y = _np.array(
+            [
+                len(textstats._RE_TOKEN.findall(s))
+                for s in t["text"].to_pylist()
+            ],
+            dtype=_np.int64,
+        )
+        key, cnt = _np.unique(x * (1 << _TOK_BITS) + y, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(key, pa.int64()),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+                "part": pa.array(
+                    (key & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def merge_partition(df) -> pa.Table:
+        import numpy as _np
+
+        keys, inv = _np.unique(df["k"].to_numpy(), return_inverse=True)
+        sums = _np.zeros(len(keys), dtype=_np.int64)
+        _np.add.at(sums, inv, df["n"].to_numpy())
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "n": pa.array(sums, pa.int64()),
+            }
+        )
+
+    joint = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "n_chars"]
+        )
+        .map_batches(joint_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
+        .materialize()
+    )
+
+    def marginal(shift: bool) -> tuple[np.ndarray, np.ndarray]:
+        def m_partial(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            k = t["k"].to_numpy()
+            v = (k >> _TOK_BITS) if shift else (k & ((1 << _TOK_BITS) - 1))
+            uv, inv = _np.unique(v, return_inverse=True)
+            s = _np.zeros(len(uv), dtype=_np.int64)
+            _np.add.at(s, inv, t["n"].to_numpy())
+            return pa.table(
+                {"v": pa.array(uv, pa.int64()), "n": pa.array(s, pa.int64())}
+            )
+
+        rows = (
+            joint.map_batches(m_partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()  # bounded: the value grid, not the corpus
+        )
+        rows.sort(key=lambda r: r["v"])
+        vals = np.array([r["v"] for r in rows], dtype=np.int64)
+        cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+        less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        r2 = 2 * less + cnts + 1  # doubled ties-averaged rank
+        return vals, r2
+
+    xv, xr2 = marginal(True)
+    yv, yr2 = marginal(False)
+    n_total = int(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+    exact = n_total <= _SPEARMAN_EXACT_MAX
+    rank_ref = ray.put((xv, xr2, yv, yr2))
+
+    def moments(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        xvv, xr, yvv, yr = cached_get(rank_ref)
+        k = t["k"].to_numpy()
+        cnt = t["n"].to_numpy()
+        rx = xr[_np.searchsorted(xvv, k >> _TOK_BITS)]
+        ry = yr[_np.searchsorted(yvv, k & ((1 << _TOK_BITS) - 1))]
+        if exact:
+            rxo = rx.astype(object)
+            ryo = ry.astype(object)
+            co = cnt.astype(object)
+            vals = [
+                int(sum(co)),
+                int(sum(rxo * co)),
+                int(sum(ryo * co)),
+                int(sum(rxo * rxo * co)),
+                int(sum(ryo * ryo * co)),
+                int(sum(rxo * ryo * co)),
+            ]
+            typ = pa.int64()
+        else:
+            rxf = rx.astype(_np.float64)
+            ryf = ry.astype(_np.float64)
+            cf = cnt.astype(_np.float64)
+            vals = [
+                float(cf.sum()),
+                float((rxf * cf).sum()),
+                float((ryf * cf).sum()),
+                float((rxf * rxf * cf).sum()),
+                float((ryf * ryf * cf).sum()),
+                float((rxf * ryf * cf).sum()),
+            ]
+            typ = pa.float64()
+        return pa.table(
+            {
+                c: pa.array([v], typ)
+                for c, v in zip(("n", "sx", "sy", "sxx", "syy", "sxy"), vals)
+            }
+        )
+
+    parts = joint.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    sp = (
+        round(float(n * sxy - sx * sy) / (vx**0.5 * vy**0.5), 6)
+        if vx > 0 and vy > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "spearman": pa.array([sp], pa.float64()),
+        }
+    )
+
+
+SQL_SPEARMAN_LEN_TOKENS = r"""
+WITH t AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+  FROM documents),
+r AS (
+  SELECT
+    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+      AS rx,
+    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1
+      AS ry
+  FROM t),
+m AS (
+  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+         sum(rx * ry) AS sxy
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       ELSE NULL END AS spearman
+FROM m
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -9171,6 +9590,10 @@ QUERIES = {
     "nation_pair_volume": q_nation_pair_volume,
     "event_paths": q_event_paths,
     "lang_source_chi2": q_lang_source_chi2,
+    "click_except_high_value": q_click_except_high_value,
+    "winsorized_mean": q_winsorized_mean,
+    "region_price_quantiles": q_region_price_quantiles,
+    "spearman_len_tokens": q_spearman_len_tokens,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -9328,6 +9751,10 @@ ORACLE_SQL = {
     "nation_pair_volume": SQL_NATION_PAIR_VOLUME,
     "event_paths": SQL_EVENT_PATHS,
     "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
+    "click_except_high_value": SQL_CLICK_EXCEPT_HIGH_VALUE,
+    "winsorized_mean": SQL_WINSORIZED_MEAN,
+    "region_price_quantiles": SQL_REGION_PRICE_QUANTILES,
+    "spearman_len_tokens": SQL_SPEARMAN_LEN_TOKENS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

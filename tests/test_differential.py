@@ -119,6 +119,8 @@ DIFFERENTIAL_QUERIES = [
     "above_avg_docs",
     "lang_quantile_cont",
     "lang_source_chi2",
+    "winsorized_mean",
+    "spearman_len_tokens",
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
@@ -346,6 +348,7 @@ EVENT_QUERIES = [
     "last_event_value",
     "user_degree_hist",
     "event_paths",
+    "click_except_high_value",
 ]
 
 EMBEDDING_QUERIES = [
@@ -595,6 +598,7 @@ RELATIONAL_QUERIES = [
     "idle_customers",
     "supplier_wait_blame",
     "nation_pair_volume",
+    "region_price_quantiles",
 ]
 
 
