@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "winsorized_mean",
     "region_price_quantiles",
     "spearman_len_tokens",
+    "activity_union",
+    "time_to_purchase",
+    "all_type_users",
+    "cheapest_supplier_per_part",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

@@ -9572,6 +9572,301 @@ FROM m
 """
 
 
+_DAY_US_CONST = 86_400_000_000
+
+
+def q_activity_union(sf_dir: str):
+    """Multi-source harmonization (UNION ALL of differently-shaped
+    tables): daily activity counts by stream, merging events (ts) and
+    orders (o_orderdate) into one schema. Each source reduces
+    map-side to (day, n) partials BEFORE the Dataset.union, so the
+    union carries day-cardinality rows, and the final multi-column
+    groupby runs over the already-reduced tiny table (never a fact
+    table — the packed-key rule's safe case). Day buckets use exact
+    int64 epoch-microsecond floor-division, matching the oracles'
+    integer `//`."""
+
+    def day_partial(col: str, stream: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            day = _np.floor_divide(
+                pc.cast(t[col], pa.int64()).to_numpy(), _DAY_US_CONST
+            )
+            ud, cnt = _np.unique(day, return_counts=True)
+            return pa.table(
+                {
+                    "day": pa.array(ud, pa.int64()),
+                    "stream": pa.array([stream] * len(ud), pa.string()),
+                    "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+                }
+            )
+
+        return fn
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).map_batches(day_partial("ts", "events"), batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    ).map_batches(
+        day_partial("o_orderdate", "orders"), batch_format="pyarrow"
+    )
+    return (
+        ev.union(od)
+        .groupby(["day", "stream"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_ACTIVITY_UNION = """
+WITH a AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, 'events' AS stream
+  FROM events
+  UNION ALL
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day, 'orders' AS stream
+  FROM orders)
+SELECT CAST(day AS BIGINT) AS day, stream,
+       CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY day, stream
+"""
+
+
+def q_time_to_purchase(sf_dir: str):
+    """Conditional aggregate with NULL semantics: per user, the
+    microseconds from their first event to their first purchase —
+    NULL when they never purchased. Per-batch partials carry two
+    sentinel-coded minima per user (bounded by users in the batch),
+    min-merge inside bounded user-hash partitions, and the output is
+    an Arrow int64-with-nulls column (the registry's nullable-int
+    contract — never a pandas masked dtype)."""
+    import numpy as np
+
+    _SENT = np.iinfo(np.int64).max
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        uid = t["user_id"].to_numpy()
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        is_p = t["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+        users, inv = _np.unique(uid, return_inverse=True)
+        m_all = _np.full(len(users), _SENT, dtype=_np.int64)
+        _np.minimum.at(m_all, inv, ts)
+        m_p = _np.full(len(users), _SENT, dtype=_np.int64)
+        _np.minimum.at(m_p, inv[is_p], ts[is_p])
+        return pa.table(
+            {
+                "u": pa.array(users, pa.int64()),
+                "m_all": pa.array(m_all, pa.int64()),
+                "m_p": pa.array(m_p, pa.int64()),
+                "part": pa.array(
+                    (users & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def merge_partition(df) -> pa.Table:
+        import numpy as _np
+
+        users, inv = _np.unique(df["u"].to_numpy(), return_inverse=True)
+        m_all = _np.full(len(users), _SENT, dtype=_np.int64)
+        _np.minimum.at(m_all, inv, df["m_all"].to_numpy())
+        m_p = _np.full(len(users), _SENT, dtype=_np.int64)
+        _np.minimum.at(m_p, inv, df["m_p"].to_numpy())
+        never = m_p == _SENT
+        delta = _np.where(never, 0, m_p - m_all)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "delta_us": pa.array(delta, pa.int64(), mask=never),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        )
+        .map_batches(min_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
+    )
+
+
+SQL_TIME_TO_PURCHASE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+       - epoch_us(min(ts)) AS BIGINT) AS delta_us
+FROM events GROUP BY user_id
+"""
+
+
+def q_all_type_users(sf_dir: str):
+    """Set INTERSECT across five derived distinct sets (users who
+    performed EVERY event type), as the same presence-bit OR-reduce
+    as the EXCEPT op: one bit per event type folds per batch, bits
+    OR-merge in bounded user-hash partitions, and the five-way
+    INTERSECT is `bits == 0b11111` — no distinct-shuffles, no
+    joins."""
+    import numpy as np
+
+    _TYPES = np.array(
+        ["click", "error", "purchase", "signup", "view"], dtype=object
+    )
+
+    def bits_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        code = _np.searchsorted(_TYPES, et)
+        uid = t["user_id"].to_numpy()
+        users, inv = _np.unique(uid, return_inverse=True)
+        bits = _np.zeros(len(users), dtype=_np.int64)
+        _np.bitwise_or.at(bits, inv, _np.int64(1) << code)
+        return pa.table(
+            {
+                "u": pa.array(users, pa.int64()),
+                "bits": pa.array(bits, pa.int64()),
+                "part": pa.array(
+                    (users & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def intersect_partition(df) -> pa.Table:
+        import numpy as _np
+
+        users, inv = _np.unique(df["u"].to_numpy(), return_inverse=True)
+        bits = _np.zeros(len(users), dtype=_np.int64)
+        _np.bitwise_or.at(bits, inv, df["bits"].to_numpy())
+        return pa.table(
+            {"user_id": pa.array(users[bits == 0b11111], pa.int64())}
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(bits_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(intersect_partition, batch_format="pandas")
+    )
+
+
+SQL_ALL_TYPE_USERS = """
+SELECT CAST(user_id AS BIGINT) AS user_id
+FROM events WHERE event_type = 'click'
+INTERSECT SELECT CAST(user_id AS BIGINT) FROM events
+  WHERE event_type = 'error'
+INTERSECT SELECT CAST(user_id AS BIGINT) FROM events
+  WHERE event_type = 'purchase'
+INTERSECT SELECT CAST(user_id AS BIGINT) FROM events
+  WHERE event_type = 'signup'
+INTERSECT SELECT CAST(user_id AS BIGINT) FROM events
+  WHERE event_type = 'view'
+"""
+
+
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """Correlated-MIN join-back (the TPC-H Q2 shape on this schema):
+    per part, the minimum line price and how many lines hit it.
+    Partials carry (part, batch-min, count-at-batch-min); the
+    partition merge keeps counts only from partials whose min equals
+    the true min (one lexsort + segment sum — the classic argmin
+    re-join without a join). Bounded part-hash partitions; lineitem
+    never shuffles raw."""
+    import numpy as np
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        pk = t["l_partkey"].to_numpy()
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        parts, inv = _np.unique(pk, return_inverse=True)
+        m = _np.full(len(parts), _np.iinfo(_np.int64).max, dtype=_np.int64)
+        _np.minimum.at(m, inv, cents)
+        at_min = cents == m[inv]
+        c = _np.zeros(len(parts), dtype=_np.int64)
+        _np.add.at(c, inv[at_min], 1)
+        return pa.table(
+            {
+                "p": pa.array(parts, pa.int64()),
+                "m": pa.array(m, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "part": pa.array(
+                    (parts & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def merge_partition(df) -> pa.Table:
+        import numpy as _np
+
+        p = df["p"].to_numpy()
+        m = df["m"].to_numpy()
+        c = df["c"].to_numpy()
+        idx = _np.lexsort((m, p))
+        p2, m2, c2 = p[idx], m[idx], c[idx]
+        new = _np.r_[True, p2[1:] != p2[:-1]]
+        gidx = _np.cumsum(new) - 1
+        run_min = m2[_np.nonzero(new)[0]]
+        at_min = m2 == run_min[gidx]
+        n_parts = int(gidx[-1]) + 1 if len(p2) else 0
+        sums = _np.zeros(n_parts, dtype=_np.int64)
+        _np.add.at(sums, gidx[at_min], c2[at_min])
+        return pa.table(
+            {
+                "l_partkey": pa.array(p2[new], pa.int64()),
+                "min_cents": pa.array(run_min, pa.int64()),
+                "n_at_min": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice"],
+        )
+        .map_batches(min_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH lc AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+w AS (
+  SELECT l_partkey, cents,
+         min(cents) OVER (PARTITION BY l_partkey) AS m
+  FROM lc)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(m AS BIGINT) AS min_cents,
+       CAST(count(*) AS BIGINT) AS n_at_min
+FROM w WHERE cents = m GROUP BY l_partkey, m
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -9594,6 +9889,10 @@ QUERIES = {
     "winsorized_mean": q_winsorized_mean,
     "region_price_quantiles": q_region_price_quantiles,
     "spearman_len_tokens": q_spearman_len_tokens,
+    "activity_union": q_activity_union,
+    "time_to_purchase": q_time_to_purchase,
+    "all_type_users": q_all_type_users,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -9755,6 +10054,10 @@ ORACLE_SQL = {
     "winsorized_mean": SQL_WINSORIZED_MEAN,
     "region_price_quantiles": SQL_REGION_PRICE_QUANTILES,
     "spearman_len_tokens": SQL_SPEARMAN_LEN_TOKENS,
+    "activity_union": SQL_ACTIVITY_UNION,
+    "time_to_purchase": SQL_TIME_TO_PURCHASE,
+    "all_type_users": SQL_ALL_TYPE_USERS,
+    "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

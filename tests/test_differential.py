@@ -349,6 +349,8 @@ EVENT_QUERIES = [
     "user_degree_hist",
     "event_paths",
     "click_except_high_value",
+    "time_to_purchase",
+    "all_type_users",
 ]
 
 EMBEDDING_QUERIES = [
@@ -599,6 +601,8 @@ RELATIONAL_QUERIES = [
     "supplier_wait_blame",
     "nation_pair_volume",
     "region_price_quantiles",
+    "activity_union",
+    "cheapest_supplier_per_part",
 ]
 
 
