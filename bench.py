@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "time_to_purchase",
     "all_type_users",
     "cheapest_supplier_per_part",
+    "char_budget_curation",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

@@ -9867,6 +9867,114 @@ FROM w WHERE cents = m GROUP BY l_partkey, m
 """
 
 
+def q_char_budget_curation(sf_dir: str):
+    """Token-budget corpus curation: per language, keep the longest
+    docs (n_chars DESC, doc_id ASC) until 10% of that language's
+    total characters — the grouped ordered running-sum cutoff, WITHOUT
+    a distributed sort. The shared (lang, n_chars) histogram yields
+    both the budget (exact integer total // 10) and the cutoff walk
+    (how many docs of each length fit); only the single boundary
+    length per language needs doc_id tie-breaking, resolved by one
+    tiny filtered pass (docs AT the cutoff length only), and the
+    final keep-filter is a broadcast rule — the corpus is scanned,
+    never sorted, never shuffled."""
+    import numpy as np
+
+    ds, hist = _lang_length_hist(sf_dir)
+    cut_len: dict[str, int] = {}  # keep all docs strictly longer
+    cut_k: dict[str, int] = {}  # docs to keep AT the cutoff length
+    for lang, g in hist.groupby("lang", sort=False):
+        g = g.sort_values("n_chars", ascending=False)
+        lens = g["n_chars"].to_numpy()
+        cnts = g["n"].to_numpy()
+        budget = int((lens * cnts).sum()) // 10
+        cum = 0
+        cl, ck = -1, 0
+        for L, m in zip(lens, cnts):
+            L, m = int(L), int(m)
+            fit = m if L == 0 else min(m, max(0, (budget - cum) // L))
+            if fit < m:
+                cl, ck = L, fit
+                break
+            cum += L * m
+        else:
+            cl, ck = -1, 0  # budget swallows everything
+        cut_len[lang] = cl
+        cut_k[lang] = ck
+
+    cut_ref = ray.put((cut_len, cut_k))
+
+    def boundary_docs(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        cl, _ = cached_get(cut_ref)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy()
+        ul, inv = _np.unique(langs, return_inverse=True)
+        cuts = _np.array([cl.get(l, -2) for l in ul], dtype=_np.int64)
+        keep = _np.nonzero(nc == cuts[inv])[0]
+        return t.take(pa.array(keep, pa.int64()))
+
+    # tiny pass: only docs AT a cutoff length (histogram-cell sized)
+    boundary = (
+        ds.map_batches(boundary_docs, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang"])
+        .take_all()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for r in boundary:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    keep_at_cut = {
+        lang: frozenset(sorted(ids)[: cut_k[lang]])
+        for lang, ids in by_lang.items()
+    }
+    keep_ref = ray.put((cut_len, keep_at_cut))
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        cl, ks = cached_get(keep_ref)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        ul, inv = _np.unique(langs, return_inverse=True)
+        cuts = _np.array([cl.get(l, -2) for l in ul], dtype=_np.int64)
+        cut_row = cuts[inv]
+        mask = (cut_row == -1) | (nc > cut_row)
+        # tie-break only at the (rare) cutoff cells — loop over THOSE
+        at_cut = _np.nonzero(nc == cut_row)[0]
+        for i in at_cut:
+            if ids[i] in ks.get(langs[i], frozenset()):
+                mask[i] = True
+        sub = t.take(pa.array(_np.nonzero(mask)[0], pa.int64()))
+        return pa.table(
+            {"doc_id": sub["doc_id"], "lang": sub["lang"]}
+        )
+
+    return ds.map_batches(keep_filter, batch_format="pyarrow")
+
+
+SQL_CHAR_BUDGET_CURATION = """
+WITH tot AS (
+  SELECT lang,
+         CAST(sum(CAST(n_chars AS BIGINT)) // 10 AS BIGINT) AS b
+  FROM documents GROUP BY lang),
+r AS (
+  SELECT lang, doc_id,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS run
+  FROM documents)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.lang
+FROM r JOIN tot ON r.lang = tot.lang
+WHERE r.run <= tot.b
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -9893,6 +10001,7 @@ QUERIES = {
     "time_to_purchase": q_time_to_purchase,
     "all_type_users": q_all_type_users,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "char_budget_curation": q_char_budget_curation,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -10058,6 +10167,7 @@ ORACLE_SQL = {
     "time_to_purchase": SQL_TIME_TO_PURCHASE,
     "all_type_users": SQL_ALL_TYPE_USERS,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
+    "char_budget_curation": SQL_CHAR_BUDGET_CURATION,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

@@ -121,6 +121,7 @@ DIFFERENTIAL_QUERIES = [
     "lang_source_chi2",
     "winsorized_mean",
     "spearman_len_tokens",
+    "char_budget_curation",
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
