@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "all_type_users",
     "cheapest_supplier_per_part",
     "char_budget_curation",
+    "lineitem_profile",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

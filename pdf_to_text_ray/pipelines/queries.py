@@ -9975,6 +9975,136 @@ WHERE r.run <= tot.b
 """
 
 
+def q_lineitem_profile(sf_dir: str):
+    """One-pass multi-column table profiling (count / min / max /
+    mean / stddev_pop for four numeric columns) with EXACT integer
+    moments: each batch reduces to one 4-row partial in the integer
+    domain (qty, cents, bp); sums of squares exceed int64 at fact
+    scale, so each partial splits them hi/lo at 2^62 (the oracle's
+    HUGEINT path mirrored with Python ints) and the driver merges the
+    tiny partials. Mean and std are the same float64 expressions the
+    oracle evaluates, 6-dp."""
+    import math
+
+    import numpy as np
+
+    _COLS = (
+        ("qty", "l_quantity", 1.0),
+        ("price_cents", "l_extendedprice", 100.0),
+        ("discount_bp", "l_discount", 10000.0),
+        ("tax_bp", "l_tax", 10000.0),
+    )
+    _HI = 1 << 62
+
+    def profile_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        out = {
+            "col": [],
+            "n": [],
+            "mn": [],
+            "mx": [],
+            "sx": [],
+            "sxx_hi": [],
+            "sxx_lo": [],
+        }
+        for name, src, scale in _COLS:
+            v = pc.cast(
+                pc.floor(
+                    pc.add(
+                        pc.multiply(t[src], pa.scalar(scale)), pa.scalar(0.5)
+                    )
+                ),
+                pa.int64(),
+            ).to_numpy()
+            vo = v.astype(object)
+            sxx = int((vo * vo).sum())
+            hi, lo = divmod(sxx, _HI)
+            out["col"].append(name)
+            out["n"].append(len(v))
+            out["mn"].append(int(v.min()) if len(v) else 0)
+            out["mx"].append(int(v.max()) if len(v) else 0)
+            out["sx"].append(int(v.sum()))
+            out["sxx_hi"].append(hi)
+            out["sxx_lo"].append(lo)
+        return pa.table(
+            {
+                "col": pa.array(out["col"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "mn": pa.array(out["mn"], pa.int64()),
+                "mx": pa.array(out["mx"], pa.int64()),
+                "sx": pa.array(out["sx"], pa.int64()),
+                "sxx_hi": pa.array(out["sxx_hi"], pa.int64()),
+                "sxx_lo": pa.array(out["sxx_lo"], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[src for _, src, _ in _COLS],
+        )
+        .map_batches(profile_partial, batch_format="pyarrow")
+        .take_all()  # bounded: 4 rows per block
+    )
+    agg: dict[str, list] = {}
+    for r in parts:
+        a = agg.setdefault(
+            r["col"], [0, None, None, 0, 0]
+        )  # n, mn, mx, sx, sxx
+        a[0] += r["n"]
+        a[1] = r["mn"] if a[1] is None else min(a[1], r["mn"])
+        a[2] = r["mx"] if a[2] is None else max(a[2], r["mx"])
+        a[3] += r["sx"]
+        a[4] += r["sxx_hi"] * _HI + r["sxx_lo"]
+    out = {"col": [], "n": [], "vmin": [], "vmax": [], "mean": [], "std": []}
+    for name, _, _ in _COLS:
+        n, mn, mx, sx, sxx = agg[name]
+        out["col"].append(name)
+        out["n"].append(n)
+        out["vmin"].append(mn)
+        out["vmax"].append(mx)
+        out["mean"].append(round(sx / n, 6))
+        out["std"].append(round(math.sqrt(float(n * sxx - sx * sx)) / n, 6))
+    return pa.table(
+        {
+            "col": pa.array(out["col"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "vmin": pa.array(out["vmin"], pa.int64()),
+            "vmax": pa.array(out["vmax"], pa.int64()),
+            "mean": pa.array(out["mean"], pa.float64()),
+            "std": pa.array(out["std"], pa.float64()),
+        }
+    )
+
+
+SQL_LINEITEM_PROFILE = """
+WITH c AS (
+  SELECT CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS dbp,
+         CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tbp
+  FROM lineitem),
+m AS (
+  SELECT 'qty' AS col, count(*) AS n, min(qty) AS mn, max(qty) AS mx,
+         sum(qty) AS sx, sum(qty * qty) AS sxx FROM c
+  UNION ALL
+  SELECT 'price_cents', count(*), min(cents), max(cents),
+         sum(cents), sum(cents * cents) FROM c
+  UNION ALL
+  SELECT 'discount_bp', count(*), min(dbp), max(dbp),
+         sum(dbp), sum(dbp * dbp) FROM c
+  UNION ALL
+  SELECT 'tax_bp', count(*), min(tbp), max(tbp),
+         sum(tbp), sum(tbp * tbp) FROM c)
+SELECT col, CAST(n AS BIGINT) AS n,
+       CAST(mn AS BIGINT) AS vmin, CAST(mx AS BIGINT) AS vmax,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+       round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 6) AS std
+FROM m
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -10002,6 +10132,7 @@ QUERIES = {
     "all_type_users": q_all_type_users,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "char_budget_curation": q_char_budget_curation,
+    "lineitem_profile": q_lineitem_profile,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -10168,6 +10299,7 @@ ORACLE_SQL = {
     "all_type_users": SQL_ALL_TYPE_USERS,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "char_budget_curation": SQL_CHAR_BUDGET_CURATION,
+    "lineitem_profile": SQL_LINEITEM_PROFILE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

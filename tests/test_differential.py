@@ -604,6 +604,7 @@ RELATIONAL_QUERIES = [
     "region_price_quantiles",
     "activity_union",
     "cheapest_supplier_per_part",
+    "lineitem_profile",
 ]
 
 
