@@ -10049,6 +10049,8 @@ def q_lineitem_profile(sf_dir: str):
     )
     agg: dict[str, list] = {}
     for r in parts:
+        if r["n"] == 0:  # empty-batch partial: its 0/0 min/max is void
+            continue
         a = agg.setdefault(
             r["col"], [0, None, None, 0, 0]
         )  # n, mn, mx, sx, sxx
