@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "cheapest_supplier_per_part",
     "char_budget_curation",
     "lineitem_profile",
+    "nation_revenue_share",
+    "top_docs_with_ties",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

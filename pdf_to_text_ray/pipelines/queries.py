@@ -10107,6 +10107,179 @@ FROM m
 """
 
 
+def q_nation_revenue_share(sf_dir: str):
+    """Percent-of-total at mixed granularity (window-over-aggregate:
+    each nation's share of its region's order revenue). The customer
+    dimension chain collapses to a broadcast custkey→(region,nation)
+    lookup, orders reduce map-side to exact integer cents per
+    (region, nation) — a tiny groupby — and the share is ONE float
+    division per row computed after a driver-side region fold,
+    mirroring the oracle's sum() OVER (PARTITION BY region)."""
+    import numpy as np
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nk2name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    nk2r = dict(
+        zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    )
+    r2n = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    custkeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    order_idx = np.argsort(custkeys, kind="stable")
+    sorted_keys = custkeys[order_idx]
+    natkeys = np.asarray(cust["c_nationkey"].to_pylist(), dtype=np.int64)[
+        order_idx
+    ]
+    lut_ref = ray.put((sorted_keys, natkeys))
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys, nats = cached_get(lut_ref)
+        ck = t["o_custkey"].to_numpy()
+        pos = _np.minimum(_np.searchsorted(keys, ck), len(keys) - 1)
+        found = keys[pos] == ck
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        nk = nats[pos][found]
+        cc = cents[found]
+        un, inv = _np.unique(nk, return_inverse=True)
+        sums = _np.zeros(len(un), dtype=_np.int64)
+        _np.add.at(sums, inv, cc)
+        return pa.table(
+            {
+                "nk": pa.array(un, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(cents_partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # bounded: one row per nation
+    )
+    region_tot: dict[int, int] = {}
+    for r in rows:
+        rk = nk2r[r["nk"]]
+        region_tot[rk] = region_tot.get(rk, 0) + r["cents"]
+    return pa.table(
+        {
+            "r_name": pa.array(
+                [r2n[nk2r[r["nk"]]] for r in rows], pa.string()
+            ),
+            "n_name": pa.array([nk2name[r["nk"]] for r in rows], pa.string()),
+            "revenue_cents": pa.array([r["cents"] for r in rows], pa.int64()),
+            "share": pa.array(
+                [
+                    round(r["cents"] / region_tot[nk2r[r["nk"]]], 6)
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_NATION_REVENUE_SHARE = """
+WITH nr AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, revenue_cents,
+  round(CAST(revenue_cents AS DOUBLE)
+        / sum(revenue_cents) OVER (PARTITION BY r_name), 6) AS share
+FROM nr
+"""
+
+
+def q_top_docs_with_ties(sf_dir: str):
+    """Per-group top-k WITH ties (RANK, not ROW_NUMBER): all docs
+    whose length is beaten by fewer than 3 docs in their language.
+    The rank threshold per language reads off the shared length
+    histogram's descending CDF (keep lengths where the strictly-
+    longer count <= 2), broadcasts as a tiny floor dict, and the keep
+    is a map-side filter — no per-group sort, no shuffle, and tied
+    boundary docs come along exactly as RANK semantics require."""
+    import numpy as np
+
+    ds, hist = _lang_length_hist(sf_dir)
+    floor_len: dict[str, int] = {}
+    for lang, g in hist.groupby("lang", sort=False):
+        g = g.sort_values("n_chars", ascending=False)
+        lens = g["n_chars"].to_numpy()
+        cnts = g["n"].to_numpy()
+        longer = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        keep = lens[longer <= 2]
+        floor_len[lang] = int(keep[-1]) if len(keep) else int(lens[0]) + 1
+    floor_ref = ray.put(floor_len)
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        fl = cached_get(floor_ref)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy()
+        ul, inv = _np.unique(langs, return_inverse=True)
+        floors = _np.array([fl[l] for l in ul], dtype=_np.int64)
+        keep = _np.nonzero(nc >= floors[inv])[0]
+        sub = t.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "lang": sub["lang"],
+                "n_chars": sub["n_chars"],
+            }
+        )
+
+    return ds.map_batches(keep_filter, batch_format="pyarrow")
+
+
+SQL_TOP_DOCS_WITH_TIES = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rk
+  FROM documents) t
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -10135,6 +10308,8 @@ QUERIES = {
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "char_budget_curation": q_char_budget_curation,
     "lineitem_profile": q_lineitem_profile,
+    "nation_revenue_share": q_nation_revenue_share,
+    "top_docs_with_ties": q_top_docs_with_ties,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -10302,6 +10477,8 @@ ORACLE_SQL = {
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "char_budget_curation": SQL_CHAR_BUDGET_CURATION,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
+    "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
+    "top_docs_with_ties": SQL_TOP_DOCS_WITH_TIES,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

@@ -122,6 +122,7 @@ DIFFERENTIAL_QUERIES = [
     "winsorized_mean",
     "spearman_len_tokens",
     "char_budget_curation",
+    "top_docs_with_ties",
     "doclen_quantiles",
     "doclen_zscore",
     "global_rank",
@@ -605,6 +606,7 @@ RELATIONAL_QUERIES = [
     "activity_union",
     "cheapest_supplier_per_part",
     "lineitem_profile",
+    "nation_revenue_share",
 ]
 
 
