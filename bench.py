@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "lineitem_profile",
     "nation_revenue_share",
     "top_docs_with_ties",
+    "gini_by_priority",
+    "cohort_retention",
     "ntile_quartiles",
     "cume_dist_lengths",
     "mad_lengths",

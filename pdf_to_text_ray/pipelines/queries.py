@@ -10280,6 +10280,181 @@ WHERE rk <= 3
 """
 
 
+def q_gini_by_priority(sf_dir: str):
+    """Gini inequality coefficient of order value per priority class,
+    EXACTLY, from a histogram — no sort: per-(priority, cents)
+    partials reduce through one tiny groupby, and the rank-sum
+    numerator Σ(2·rn − n − 1)·x folds over histogram cells in closed
+    form (a cell of m equal values starting after c rows contributes
+    x·(2·(m·c + m(m+1)/2) − m(n+1)) — exact integers; tie order
+    cannot matter because tied values are equal). One float division,
+    6-dp, the same expression as the oracle's row_number window."""
+    import numpy as np
+    import pandas as pd
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        ).to_numpy()
+        df = pd.DataFrame(
+            {"prio": t["o_orderpriority"].to_pylist(), "cents": cents}
+        )
+        g = (
+            df.groupby(["prio", "cents"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "prio": pa.array(g["prio"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["prio", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: priorities x distinct cent values
+    )
+    out = {"o_orderpriority": [], "gini": []}
+    for prio, g in hist.groupby("prio", sort=True):
+        g = g.sort_values("cents")
+        x = [int(v) for v in g["cents"]]
+        m = [int(v) for v in g["n"]]
+        n = sum(m)
+        total = sum(a * b for a, b in zip(x, m))
+        num = 0
+        c = 0
+        for xi, mi in zip(x, m):
+            num += xi * (2 * (mi * c + mi * (mi + 1) // 2) - mi * (n + 1))
+            c += mi
+        out["o_orderpriority"].append(prio)
+        out["gini"].append(
+            round(num / (n * total), 6) if total else None
+        )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "gini": pa.array(out["gini"], pa.float64()),
+        }
+    )
+
+
+SQL_GINI_BY_PRIORITY = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM c)
+SELECT o_orderpriority,
+  round(CAST(sum((2 * rn - n - 1) * cents) AS DOUBLE)
+        / (n * sum(cents)), 6) AS gini
+FROM r GROUP BY o_orderpriority, n
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (signup-cohort week x active week →
+    distinct users) in ONE pass over events: bounded user-hash
+    partitions hold each user's whole history, so the per-partition
+    reduce derives the user's cohort week (min event week) AND their
+    distinct active weeks together — no self-join of the fact table,
+    and only (cohort, week, count) cells leave the partition."""
+    import numpy as np
+
+    _WEEK_US = 7 * 86_400_000_000
+
+    def week_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        uid = t["user_id"].to_numpy()
+        wk = _np.floor_divide(
+            pc.cast(t["ts"], pa.int64()).to_numpy(), _WEEK_US
+        )
+        # dedup (user, week) map-side; weeks fit 21 bits for millennia
+        key = _np.unique(uid * (1 << 21) + wk)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "part": pa.array(
+                    (
+                        (key >> 21)
+                        & (relational.NUM_EVENT_PARTITIONS - 1)
+                    ).astype(_np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def cohort_partition(df) -> pa.Table:
+        import numpy as _np
+
+        keys = _np.unique(df["key"].to_numpy())
+        users = keys >> 21
+        weeks = keys & ((1 << 21) - 1)
+        # keys sorted => first row per user run is their min week
+        new = _np.r_[True, users[1:] != users[:-1]]
+        gidx = _np.cumsum(new) - 1
+        cohort = weeks[new][gidx]
+        cell, cnt = _np.unique(
+            cohort * (1 << 21) + weeks, return_counts=True
+        )
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    (cell >> 21).astype(_np.int64), pa.int64()
+                ),
+                "week": pa.array(
+                    (cell & ((1 << 21) - 1)).astype(_np.int64), pa.int64()
+                ),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(week_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cohort_partition, batch_format="pandas")
+        .groupby(["cohort_week", "week"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+         epoch_us(ts) // 604800000000 AS wk
+  FROM events),
+first_wk AS (
+  SELECT u, min(wk) AS cohort FROM uw GROUP BY u)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
+       CAST(uw.wk AS BIGINT) AS week,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN first_wk f ON uw.u = f.u
+GROUP BY f.cohort, uw.wk
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -10310,6 +10485,8 @@ QUERIES = {
     "lineitem_profile": q_lineitem_profile,
     "nation_revenue_share": q_nation_revenue_share,
     "top_docs_with_ties": q_top_docs_with_ties,
+    "gini_by_priority": q_gini_by_priority,
+    "cohort_retention": q_cohort_retention,
     # --- r4 front-rotation: the 7 queries never sampled by any
     # driver gate (r1-r3), plus the one r3 red row (events_time_delta,
     # fixed: Arrow int64-with-nulls) — these MUST land in the sampled
@@ -10479,6 +10656,8 @@ ORACLE_SQL = {
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
     "top_docs_with_ties": SQL_TOP_DOCS_WITH_TIES,
+    "gini_by_priority": SQL_GINI_BY_PRIORITY,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "order_priority_semi": SQL_ORDER_PRIORITY_SEMI,

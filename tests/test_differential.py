@@ -353,6 +353,7 @@ EVENT_QUERIES = [
     "click_except_high_value",
     "time_to_purchase",
     "all_type_users",
+    "cohort_retention",
 ]
 
 EMBEDDING_QUERIES = [
@@ -607,6 +608,7 @@ RELATIONAL_QUERIES = [
     "cheapest_supplier_per_part",
     "lineitem_profile",
     "nation_revenue_share",
+    "gini_by_priority",
 ]
 
 
