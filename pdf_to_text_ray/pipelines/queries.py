@@ -11,6 +11,8 @@ rounded to 6 dp.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -47,6 +49,21 @@ def _read_documents(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+
+
+def _guard_pack(hi, lo, bits: int, what: str) -> None:
+    """Refuse silently-corrupting packed int64 keys (the
+    dedup._pack_pair_keys contract, stages/dedup.py:186): the low
+    field must be non-negative and fit in ``bits`` (a negative
+    day/week from a pre-1970 timestamp would bleed into the adjacent
+    high-field range), and the high field must be non-negative and
+    small enough that ``hi << bits`` stays inside int64."""
+    if len(hi) == 0:
+        return
+    if int(lo.min()) < 0 or int(lo.max()) >= (1 << bits):
+        raise ValueError(f"{what}: low field overflows the {bits}-bit pack")
+    if int(hi.min()) < 0 or int(hi.max()) >= (1 << (62 - bits)):
+        raise ValueError(f"{what}: high field overflows the packed int64 key")
 
 
 # md5-nibble 32-bit doc_id hash: one Python helper + one SQL fragment
@@ -7214,8 +7231,9 @@ def q_rollup_revenue(sf_dir: str):
     for rn in sorted(by_region):
         c, n = by_region[rn]
         rows.append((rn, None, c, n, 1))
-    if tot_n:
-        rows.append((None, None, tot_c, tot_n, 3))
+    # SQL ROLLUP always emits the () grouping-set row — on empty input
+    # it is (count 0, NULL sum), so emit it unconditionally
+    rows.append((None, None, tot_c if tot_n else None, tot_n, 3))
     return pa.table(
         {
             "r_name": pa.array([r[0] for r in rows], pa.string()),
@@ -7375,8 +7393,10 @@ def q_cube_revenue(sf_dir: str):
                 (None, prio_names[j], int(grid_c[:, j].sum()),
                  int(grid_n[:, j].sum()), 2)
             )
-    if grid_n.sum():
-        rows.append((None, None, int(grid_c.sum()), int(grid_n.sum()), 3))
+    # SQL CUBE always emits the () grouping-set row — on empty input
+    # it is (count 0, NULL sum), so emit it unconditionally
+    tot = int(grid_n.sum())
+    rows.append((None, None, int(grid_c.sum()) if tot else None, tot, 3))
     return pa.table(
         {
             "r_name": pa.array([r[0] for r in rows], pa.string()),
@@ -8324,7 +8344,13 @@ GROUP BY c_mktsegment
 """
 
 
-def q_heavy_hitter_words(sf_dir: str, k: int = 200):
+# Single source of truth for the heavy-hitter threshold: the engine
+# default AND the SQL oracle template BOTH read this constant, so a
+# changed k cannot silently desync the two sides.
+_HEAVY_HITTER_K = 200
+
+
+def q_heavy_hitter_words(sf_dir: str, k: int = _HEAVY_HITTER_K):
     """Frequent-items (heavy hitters): words with global frequency
     strictly above 1/k of all tokens, with EXACT final counts. Pass 1
     emits per-block candidates — words with local count × k > block
@@ -8410,7 +8436,7 @@ def q_heavy_hitter_words(sf_dir: str, k: int = 200):
     )
 
 
-SQL_HEAVY_HITTER_WORDS = """
+SQL_HEAVY_HITTER_WORDS = f"""
 WITH w AS (
   SELECT t.w AS word
   FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
@@ -8420,7 +8446,7 @@ WITH w AS (
 SELECT word, CAST(count(*) AS BIGINT) AS n
 FROM w
 GROUP BY word
-HAVING count(*) * 200 > (SELECT count(*) FROM w)
+HAVING count(*) * {_HEAVY_HITTER_K} > (SELECT count(*) FROM w)
 """
 
 
@@ -8492,7 +8518,8 @@ def q_user_degree_hist(sf_dir: str):
             pc.cast(t["ts"], pa.int64()).to_numpy(), _DAY_US
         )
         # pack (user, day): day fits 21 bits past-epoch for millennia;
-        # user ids must stay under 2^42 for the packed key
+        # user ids must stay under 2^41 for the packed key
+        _guard_pack(uid, day, 21, "user_degree_hist (user,day)")
         key = _np.unique(uid * (1 << 21) + day)
         return pa.table(
             {
@@ -8678,6 +8705,7 @@ def q_supplier_wait_blame(sf_dir: str):
         ok = t["l_orderkey"].to_numpy()
         sk = t["l_suppkey"].to_numpy()
         ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+        _guard_pack(ok, sk, _SUPP_BITS, "supplier_wait_blame (order,supp)")
         key, inv = _np.unique(ok * (1 << _SUPP_BITS) + sk, return_inverse=True)
         m = _np.full(len(key), _np.iinfo(_np.int64).min, dtype=_np.int64)
         _np.maximum.at(m, inv, ship)
@@ -9269,11 +9297,16 @@ def q_region_price_quantiles(sf_dir: str):
     """Quantiles over a JOINED fact table (order totalprice p50/p90
     per region) with neither a shuffle join nor a sort: the
     customer->nation->region dimension chain collapses to one
-    broadcast custkey->region lookup (the q_revenue_by_region
-    pattern), orders reduce map-side to a (region, price_cents)
-    histogram, and the driver reads the quantile_disc rule off each
-    region's CDF. Output in exact integer cents (a selection, no
-    arithmetic)."""
+    broadcast custkey->region-index lookup (the q_revenue_by_region
+    pattern), orders reduce map-side to (region_idx, cents, n)
+    histogram partials, ONE bounded groupby on the int32 region index
+    co-locates each region's histogram (o_totalprice is near-unique,
+    so a multi-column (r_name, cents) Ray groupby would run at
+    fact-table cardinality — the measured ~750x cliff — and a driver
+    to_pandas would centralize ~|orders| rows), and the quantile_disc
+    read-off runs INSIDE each region's map_groups. The driver only
+    sees |region| final rows. Output in exact integer cents (a
+    selection, no arithmetic)."""
     import numpy as np
 
     cust = pq.read_table(
@@ -9288,26 +9321,25 @@ def q_region_price_quantiles(sf_dir: str):
     n2r = dict(
         zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
     )
-    r2n = dict(
-        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
-    )
+    rkeys = region["r_regionkey"].to_pylist()
+    rnames = region["r_name"].to_pylist()
+    rk2idx = {rk: i for i, rk in enumerate(rkeys)}
     custkeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
     order_idx = np.argsort(custkeys, kind="stable")
     sorted_keys = custkeys[order_idx]
-    names = [r2n[n2r[n]] for n in cust["c_nationkey"].to_pylist()]
-    sorted_names = [names[i] for i in order_idx]
-    lookup_ref = ray.put((sorted_keys, sorted_names))
+    ridx = np.asarray(
+        [rk2idx[n2r[n]] for n in cust["c_nationkey"].to_pylist()],
+        dtype=np.int64,
+    )[order_idx]
+    lookup_ref = ray.put((sorted_keys, ridx))
 
     def hist_partial(t: pa.Table) -> pa.Table:
         import numpy as _np
-        import pandas as _pd
 
         from ..functions.broadcast import cached_get
 
-        keys, rnames = cached_get(lookup_ref)
+        keys, reg = cached_get(lookup_ref)
         ck = t["o_custkey"].to_numpy()
-        pos = _np.minimum(_np.searchsorted(keys, ck), len(keys) - 1)
-        found = keys[pos] == ck
         cents = pc.cast(
             pc.floor(
                 pc.add(
@@ -9317,49 +9349,73 @@ def q_region_price_quantiles(sf_dir: str):
             ),
             pa.int64(),
         ).to_numpy()
-        sub = _np.nonzero(found)[0]
-        df = _pd.DataFrame(
-            {
-                "r_name": [rnames[pos[i]] for i in sub],
-                "cents": cents[sub],
-            }
-        )
-        g = df.groupby(["r_name", "cents"], sort=False).size().reset_index(
-            name="n"
-        )
+        if len(keys) == 0:
+            found = _np.zeros(len(ck), dtype=bool)
+            pos = _np.zeros(len(ck), dtype=_np.int64)
+        else:
+            pos = _np.minimum(_np.searchsorted(keys, ck), len(keys) - 1)
+            found = keys[pos] == ck
+        r = reg[pos[found]]
+        c = cents[found]
+        # map-side (region, cents) dedup via one packed int64 key
+        _guard_pack(r, c, 40, "region_price_quantiles (region,cents)")
+        key, cnt = _np.unique(r * (1 << 40) + c, return_counts=True)
         return pa.table(
             {
-                "r_name": pa.array(g["r_name"], pa.string()),
-                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
-                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "part": pa.array(
+                    (key >> 40).astype(_np.int32), pa.int32()
+                ),
+                "cents": pa.array(
+                    key & ((1 << 40) - 1), pa.int64()
+                ),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
             }
         )
 
-    hist = (
+    def quantile_partition(df) -> pa.Table:
+        import numpy as _np
+
+        vals, inv = _np.unique(df["cents"].to_numpy(), return_inverse=True)
+        cnts = _np.zeros(len(vals), dtype=_np.int64)
+        _np.add.at(cnts, inv, df["n"].to_numpy())
+        cum = _np.cumsum(cnts)
+        n = int(cum[-1])
+        picks = [
+            int(vals[_np.searchsorted(cum, int(_np.ceil(p * n)) - 1 + 1)])
+            for p in (0.5, 0.9)
+        ]
+        return pa.table(
+            {
+                "ridx": pa.array(
+                    [int(df["part"].iloc[0])], pa.int64()
+                ),
+                "p50_cents": pa.array([picks[0]], pa.int64()),
+                "p90_cents": pa.array([picks[1]], pa.int64()),
+            }
+        )
+
+    idx2name = list(rnames)  # tiny (|region|) — closure-captured
+
+    def add_name(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": pa.array(
+                    [idx2name[i] for i in t["ridx"].to_pylist()],
+                    pa.string(),
+                ),
+                "p50_cents": t["p50_cents"],
+                "p90_cents": t["p90_cents"],
+            }
+        )
+
+    return (
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["r_name", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # bounded: regions x distinct cent values
-    )
-    out: dict[str, list] = {"r_name": [], "p50_cents": [], "p90_cents": []}
-    for rname, g in hist.groupby("r_name", sort=True):
-        g = g.sort_values("cents")
-        vals = g["cents"].to_numpy()
-        cum = np.cumsum(g["n"].to_numpy())
-        n = int(cum[-1])
-        out["r_name"].append(rname)
-        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
-            idx = int(np.ceil(p * n)) - 1
-            out[col].append(int(vals[np.searchsorted(cum, idx + 1)]))
-    return pa.table(
-        {
-            "r_name": pa.array(out["r_name"], pa.string()),
-            "p50_cents": pa.array(out["p50_cents"], pa.int64()),
-            "p90_cents": pa.array(out["p90_cents"], pa.int64()),
-        }
+        .groupby("part")
+        .map_groups(quantile_partition, batch_format="pandas")
+        .map_batches(add_name, batch_format="pyarrow")
     )
 
 
@@ -9384,6 +9440,14 @@ FROM oc GROUP BY r_name
 # are already ties-averaged half-integers x2).
 _SPEARMAN_EXACT_MAX = 1 << 20
 
+# Explicit ASCII-whitespace token pattern shared by the Spearman
+# engine and its oracle (the q_bpe_token_count contract): Python re
+# \S+ is Unicode-aware while DuckDB/RE2 \S+ is ASCII-only, so text
+# containing NBSP or other Unicode whitespace would diverge — an
+# explicit character class is identical under both engines.
+_ASCII_TOK_PAT = r"[^ \t\n\r\f]+"
+_ASCII_TOK_RX = re.compile(_ASCII_TOK_PAT)
+
 
 def q_spearman_len_tokens(sf_dir: str):
     """Spearman rank correlation between doc length and token count
@@ -9404,11 +9468,12 @@ def q_spearman_len_tokens(sf_dir: str):
         x = t["n_chars"].to_numpy()
         y = _np.array(
             [
-                len(textstats._RE_TOKEN.findall(s))
+                len(_ASCII_TOK_RX.findall(s))
                 for s in t["text"].to_pylist()
             ],
             dtype=_np.int64,
         )
+        _guard_pack(x, y, _TOK_BITS, "spearman_len_tokens (chars,tokens)")
         key, cnt = _np.unique(x * (1 << _TOK_BITS) + y, return_counts=True)
         return pa.table(
             {
@@ -9545,10 +9610,11 @@ def q_spearman_len_tokens(sf_dir: str):
     )
 
 
-SQL_SPEARMAN_LEN_TOKENS = r"""
+SQL_SPEARMAN_LEN_TOKENS = rf"""
 WITH t AS (
   SELECT CAST(n_chars AS BIGINT) AS x,
-         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+         CAST(len(regexp_extract_all(text, '{_ASCII_TOK_PAT}')) AS BIGINT)
+           AS y
   FROM documents),
 r AS (
   SELECT
@@ -10283,16 +10349,22 @@ WHERE rk <= 3
 def q_gini_by_priority(sf_dir: str):
     """Gini inequality coefficient of order value per priority class,
     EXACTLY, from a histogram — no sort: per-(priority, cents)
-    partials reduce through one tiny groupby, and the rank-sum
-    numerator Σ(2·rn − n − 1)·x folds over histogram cells in closed
-    form (a cell of m equal values starting after c rows contributes
-    x·(2·(m·c + m(m+1)/2) − m(n+1)) — exact integers; tie order
-    cannot matter because tied values are equal). One float division,
-    6-dp, the same expression as the oracle's row_number window."""
+    partials reduce map-side, ONE bounded groupby on a deterministic
+    priority-hash partition id co-locates each priority's histogram
+    (cents is near-unique, so keying the exchange on (prio, cents)
+    would run at fact-table cardinality), and the rank-sum numerator
+    Σ(2·rn − n − 1)·x folds over histogram cells in closed form
+    INSIDE the partition (a cell of m equal values starting after c
+    rows contributes x·(2·(m·c + m(m+1)/2) − m(n+1)) — exact
+    integers; tie order cannot matter because tied values are equal).
+    One float division, 6-dp, the same expression as the oracle's
+    row_number window; only |priorities| rows reach the driver."""
     import numpy as np
     import pandas as pd
 
     def hist_partial(t: pa.Table) -> pa.Table:
+        import zlib
+
         cents = pc.cast(
             pc.floor(
                 pc.add(
@@ -10310,45 +10382,60 @@ def q_gini_by_priority(sf_dir: str):
             .size()
             .reset_index(name="n")
         )
+        # bounded partition id from a deterministic string hash — the
+        # exchange key is NEVER the near-unique (prio, cents) pair (a
+        # multi-column Ray groupby there runs at fact-table
+        # cardinality, the measured ~750x cliff)
+        part = [
+            zlib.crc32(p.encode()) & (relational.NUM_EVENT_PARTITIONS - 1)
+            for p in g["prio"]
+        ]
         return pa.table(
             {
                 "prio": pa.array(g["prio"], pa.string()),
                 "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
                 "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "part": pa.array(np.asarray(part, dtype=np.int32), pa.int32()),
             }
         )
 
-    hist = (
+    def gini_partition(df) -> pa.Table:
+        # one bounded partition holds every (cents, n) cell for its
+        # priorities; the exact-integer rank-sum fold (Python ints —
+        # the numerator exceeds int64 at scale) runs HERE, not on the
+        # driver, and only |priorities| final rows leave
+        out_p: list[str] = []
+        out_g: list[float | None] = []
+        for prio, g in df.groupby("prio", sort=False):
+            gg = g.groupby("cents", sort=True)["n"].sum()
+            x = [int(v) for v in gg.index]
+            m = [int(v) for v in gg.to_numpy()]
+            n = sum(m)
+            total = sum(a * b for a, b in zip(x, m))
+            num = 0
+            c = 0
+            for xi, mi in zip(x, m):
+                num += xi * (
+                    2 * (mi * c + mi * (mi + 1) // 2) - mi * (n + 1)
+                )
+                c += mi
+            out_p.append(prio)
+            out_g.append(round(num / (n * total), 6) if total else None)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out_p, pa.string()),
+                "gini": pa.array(out_g, pa.float64()),
+            }
+        )
+
+    return (
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderpriority", "o_totalprice"],
         )
         .map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["prio", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # bounded: priorities x distinct cent values
-    )
-    out = {"o_orderpriority": [], "gini": []}
-    for prio, g in hist.groupby("prio", sort=True):
-        g = g.sort_values("cents")
-        x = [int(v) for v in g["cents"]]
-        m = [int(v) for v in g["n"]]
-        n = sum(m)
-        total = sum(a * b for a, b in zip(x, m))
-        num = 0
-        c = 0
-        for xi, mi in zip(x, m):
-            num += xi * (2 * (mi * c + mi * (mi + 1) // 2) - mi * (n + 1))
-            c += mi
-        out["o_orderpriority"].append(prio)
-        out["gini"].append(
-            round(num / (n * total), 6) if total else None
-        )
-    return pa.table(
-        {
-            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
-            "gini": pa.array(out["gini"], pa.float64()),
-        }
+        .groupby("part")
+        .map_groups(gini_partition, batch_format="pandas")
     )
 
 
@@ -10389,6 +10476,7 @@ def q_cohort_retention(sf_dir: str):
             pc.cast(t["ts"], pa.int64()).to_numpy(), _WEEK_US
         )
         # dedup (user, week) map-side; weeks fit 21 bits for millennia
+        _guard_pack(uid, wk, 21, "cohort_retention (user,week)")
         key = _np.unique(uid * (1 << 21) + wk)
         return pa.table(
             {
@@ -10459,6 +10547,13 @@ QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
     "extract_e2e": q_extract_e2e,
+    # --- r5 front-rotation: the only 3 registry rows without a green
+    # driver CORRECTNESS row in any round (embedding_quantize never
+    # sampled; size_class_counts / media_features only have pre-oracle
+    # r1/r2 `no_oracle` rows) — they MUST land in the sampled prefix ---
+    "embedding_quantize": q_embedding_quantize,
+    "size_class_counts": q_size_class_counts,
+    "media_features": q_media_features,
     # --- round-4 late batch: newest, least-proven — keep in the
     # sampled prefix ---
     "large_orders": q_large_orders,
@@ -10516,7 +10611,6 @@ QUERIES = {
     "running_distinct": q_running_distinct,
     "skyline": q_skyline,
     "lang_regression": q_lang_regression,
-    "embedding_quantize": q_embedding_quantize,
     # --- round-3 additions next (newest least-proven ops) ---
     "events_range_join": q_events_range_join,
     "hll_distinct": q_hll_distinct,
@@ -10571,13 +10665,11 @@ QUERIES = {
     "image_decode": q_image_decode,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
-    "media_features": q_media_features,
     # --- extraction path (flagship extract_e2e leads the registry) ---
     "extraction_metrics": q_extraction_metrics,
     "domain_stats": q_domain_stats,
     "sniff_doc_types": q_sniff_doc_types,
     "route_counts": q_route_counts,
-    "size_class_counts": q_size_class_counts,
     "combine_pages_ref": q_combine_pages_ref,
     # --- dedup family ---
     "dedup_exact": q_dedup_exact,
