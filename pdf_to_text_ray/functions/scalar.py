@@ -129,3 +129,138 @@ def split_into_sentences(text: str) -> list[str]:
     if not text:
         return []
     return [s for s in _RE_SENT.split(text) if s]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch twins (pyarrow.compute / RE2 kernels)
+#
+# The per-row Python functions above are the semantic source of truth;
+# these run the same transform chains as Arrow kernels over whole
+# columns. RE2 and Python `re` agree ONLY on ASCII input (`\s` is
+# Unicode in Python, ASCII in RE2; NFKC is a no-op on ASCII), so each
+# batch twin runs the Arrow chain for every row and then REDOES the
+# non-ASCII rows through the per-row Python function — byte-exact
+# equality on arbitrary input, Arrow speed on the (dominant) ASCII
+# bulk. clean_text is the exception: its FIRST step replaces every
+# non-ASCII run with a space under identical Python/RE2 semantics
+# (explicit \x00-\x7F class over codepoints), so the whole chain is
+# RE2-exact with no fallback. Equality is pinned by
+# tests/test_differential.py on adversarial Unicode corpora.
+# ---------------------------------------------------------------------------
+
+def _pc():
+    import pyarrow.compute as pc
+
+    return pc
+
+
+# Python's ASCII whitespace set, spelled out: RE2's \s is [\t\n\f\r ]
+# and EXCLUDES \v (vertical tab), so even on pure-ASCII rows a literal
+# \s in an Arrow pattern would diverge from the Python row functions.
+_WS_CLS = " \\t\\n\\r\\f\\v"
+
+
+def _ascii_fixup(col, arrow_out, row_fn):
+    """Overwrite ``arrow_out`` rows whose INPUT is non-ASCII with the
+    per-row Python result. Zero Python-level work on all-ASCII batches
+    beyond one vectorized mask reduction."""
+    import pyarrow as pa
+
+    pc = _pc()
+    mask = pc.equal(pc.binary_length(col), pc.utf8_length(col))
+    if pc.min(mask).as_py() in (True, None):  # all ASCII (or empty)
+        return arrow_out
+    out = arrow_out.to_pylist()
+    src = col.to_pylist()
+    for i, ok in enumerate(mask.to_pylist()):
+        if not ok:
+            out[i] = row_fn(src[i])
+    return pa.array(out, pa.string())
+
+
+def normalize_text_batch(col):
+    """Column twin of normalize_text: Arrow kernel chain (NFKC is
+    identity on the ASCII rows the chain is valid for; non-ASCII rows
+    fall back to the Python row function)."""
+    pc = _pc()
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(
+        x, pattern=rf"-[{_WS_CLS}]*\n[{_WS_CLS}]*", replacement=""
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=rf"\n[{_WS_CLS}]*\n+", replacement="\n"
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=r"[•◦·▪▶►✓✔~]", replacement=""
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=rf"[{_WS_CLS}]+", replacement=" "
+    )
+    x = pc.utf8_trim(x, characters=" \t\n\r\f\v")
+    return _ascii_fixup(col, x, normalize_text)
+
+
+def clean_text_batch(col):
+    """Column twin of clean_text (remove_stopwords=False). RE2-exact
+    for ALL input: step 1 maps every non-ASCII codepoint run to one
+    space (identical under Python re and RE2), so the later \\s / \\S
+    classes only ever see ASCII."""
+    pc = _pc()
+    nws = rf"[^{_WS_CLS}]"  # Python \S over the post-step-1 ASCII text
+    x = pc.replace_substring_regex(
+        col, pattern=r"[^\x00-\x7F]+", replacement=" "
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=rf"http{nws}+|www{nws}+", replacement=""
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=rf"{nws}+@{nws}+", replacement=""
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=r"([!?.,]){2,}", replacement="\\1"
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=rf"[^a-zA-Z0-9{_WS_CLS}.?!]", replacement=" "
+    )
+    x = pc.replace_substring_regex(
+        x, pattern=rf"[{_WS_CLS}]+", replacement=" "
+    )
+    return pc.utf8_trim(x, characters=" \t\n\r\f\v")
+
+
+def ocr_whitelist_clean_batch(col):
+    """Column twin of ocr_whitelist_clean (ASCII fast path + Python
+    fallback for rows where Unicode \\s membership could differ)."""
+    pc = _pc()
+    x = pc.replace_substring_regex(
+        col,
+        pattern=rf"[^A-Za-z0-9.,!?;:\'\"\\\-{_WS_CLS}]",
+        replacement="",
+    )
+    x = pc.utf8_trim(x, characters=" \t\n\r\f\v")
+    return _ascii_fixup(col, x, ocr_whitelist_clean)
+
+
+def sentence_split_batch(col):
+    """Column twin of split_into_sentences, returning
+    (n_sentences int64 array, US-joined sentences string array).
+    Marking `([.!?])\\s+` -> `\\1\\x1f` after a strip produces exactly
+    the filtered-split segments (no empty segment can occur: a
+    separator match cannot start where the previous one ended, and the
+    strip removes edge whitespace), so the joined string IS the
+    replaced string and the count is #US + (1 if non-empty)."""
+    import pyarrow as pa
+
+    pc = _pc()
+    stripped = pc.utf8_trim(col, characters=" \t\n\r\f\v")
+    joined = pc.replace_substring_regex(
+        stripped, pattern=rf"([.!?])[{_WS_CLS}]+", replacement="\\1\x1f"
+    )
+    joined = _ascii_fixup(
+        col, joined, lambda s: "\x1f".join(split_into_sentences(s))
+    )
+    n = pc.add(
+        pc.cast(pc.count_substring(joined, "\x1f"), pa.int64()),
+        pc.cast(pc.not_equal(joined, ""), pa.int64()),
+    )
+    return n, joined

@@ -307,12 +307,13 @@ def q_normalize_text(sf_dir: str):
     ds = _read_documents(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
+        # vectorized Arrow/RE2 chain; non-ASCII rows transparently fall
+        # back to the per-row Python source of truth (scalar.py)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "norm_text": pa.array(
-                    [scalar.normalize_text(x) for x in t["text"].to_pylist()],
-                    pa.string(),
+                "norm_text": scalar.normalize_text_batch(
+                    t["text"].combine_chunks()
                 ),
             }
         )
@@ -333,12 +334,12 @@ def q_clean_text(sf_dir: str):
     ds = _read_documents(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
+        # RE2-exact for all input (see scalar.clean_text_batch)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "clean": pa.array(
-                    [scalar.clean_text(x) for x in t["text"].to_pylist()],
-                    pa.string(),
+                "clean": scalar.clean_text_batch(
+                    t["text"].combine_chunks()
                 ),
             }
         )
@@ -367,12 +368,8 @@ def q_ocr_whitelist(sf_dir: str):
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "cleaned": pa.array(
-                    [
-                        scalar.ocr_whitelist_clean(x)
-                        for x in t["text"].to_pylist()
-                    ],
-                    pa.string(),
+                "cleaned": scalar.ocr_whitelist_clean_batch(
+                    t["text"].combine_chunks()
                 ),
             }
         )
@@ -3874,12 +3871,12 @@ def q_sentence_split(sf_dir: str):
     schema stays flat for the SQL oracle."""
 
     def fn(t: pa.Table) -> pa.Table:
-        sents = [scalar.split_into_sentences(x) for x in t["text"].to_pylist()]
+        n, joined = scalar.sentence_split_batch(t["text"].combine_chunks())
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_sentences": pa.array([len(s) for s in sents], pa.int64()),
-                "sentences": pa.array([_US.join(s) for s in sents], pa.string()),
+                "n_sentences": n,
+                "sentences": joined,
             }
         )
 
@@ -3919,9 +3916,8 @@ def q_prepare_text(sf_dir: str):
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "text": pa.array(
-                    [scalar.normalize_text(x) for x in t["text"].to_pylist()],
-                    pa.string(),
+                "text": scalar.normalize_text_batch(
+                    t["text"].combine_chunks()
                 ),
             }
         )
@@ -3930,20 +3926,17 @@ def q_prepare_text(sf_dir: str):
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "text": pa.array(
-                    [scalar.clean_text(x) for x in t["text"].to_pylist()],
-                    pa.string(),
-                ),
+                "text": scalar.clean_text_batch(t["text"].combine_chunks()),
             }
         )
 
     def split(t: pa.Table) -> pa.Table:
-        sents = [scalar.split_into_sentences(x) for x in t["text"].to_pylist()]
+        n, _joined = scalar.sentence_split_batch(t["text"].combine_chunks())
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "clean_text": t["text"],
-                "n_sentences": pa.array([len(s) for s in sents], pa.int64()),
+                "n_sentences": n,
             }
         )
 

@@ -117,3 +117,44 @@ def test_decorate_then_canonicalize_recovers_base():
     }
     for v in range(5):
         assert canonicalize_url(decorate_url(v, base)) == expect[v]
+
+
+# ------------------------- vectorized batch twins (Arrow/RE2 kernels)
+
+def test_batch_twins_match_row_functions_on_adversarial_unicode():
+    """The Arrow-kernel batch twins must be byte-identical to the
+    per-row Python source of truth on EVERY input — including the
+    characters where RE2 and Python `re` disagree (\\x0b vertical tab,
+    NBSP/em/ogham/ideographic spaces, U+2028/29 separators, NEL,
+    zero-width space, NFKC-relevant ligature/case-fold codepoints)."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(7)
+    alphabet = list("abcXYZ 019.?!,;:-\t\n\r\f\v@/'\"\\~") + [
+        "•", "◦", "·", "▪", "▶", "►",
+        "✓", "✔",
+        " ", " ", " ", " ", " ", " ",
+        "", "​", "　",
+        "café", "ü", "ﬁ", "İ", "…",
+        "http://", "www.", "a@b",
+    ]
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(800)
+    ] + ["", "   ", "a-\n b", "x\n\n\ny", "multi?!.. chains!!!"]
+    col = pa.array(cases, pa.string())
+    for batch, row in [
+        (scalar.normalize_text_batch, scalar.normalize_text),
+        (scalar.clean_text_batch, scalar.clean_text),
+        (scalar.ocr_whitelist_clean_batch, scalar.ocr_whitelist_clean),
+    ]:
+        got = batch(col).to_pylist()
+        for s, g in zip(cases, got):
+            assert g == row(s), (batch.__name__, repr(s))
+    n, joined = scalar.sentence_split_batch(col)
+    for s, nn, jj in zip(cases, n.to_pylist(), joined.to_pylist()):
+        sents = scalar.split_into_sentences(s)
+        assert nn == len(sents), repr(s)
+        assert jj == "\x1f".join(sents), repr(s)
