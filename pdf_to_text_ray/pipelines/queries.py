@@ -51,6 +51,16 @@ def _read_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _with_schema(ds: ray.data.Dataset, **schema) -> ray.data.Dataset:
+    """Pin a stable output schema on a possibly-empty Dataset result:
+    Ray drops the schema of an empty groupby/filter chain entirely
+    (zero typed blocks), but the driver compare checks column names
+    even at 0 rows — so union ONE 0-row typed block. Free at any
+    scale (one empty block)."""
+    empty = pa.table({c: pa.array([], t) for c, t in schema.items()})
+    return ray.data.from_arrow(empty).union(ds)
+
+
 def _guard_pack(hi, lo, bits: int, what: str) -> None:
     """Refuse silently-corrupting packed int64 keys (the
     dedup._pack_pair_keys contract, stages/dedup.py:186): the low
@@ -7208,6 +7218,8 @@ def q_rollup_revenue(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    if "nk" not in parts.columns:  # empty input loses the schema
+        parts = pd.DataFrame({"nk": [], "cents": [], "n": []})
     m = parts.groupby("nk", sort=True).sum()
     rows: list[tuple] = []
     by_region: dict[str, list[int]] = {}
@@ -7304,7 +7316,11 @@ def q_cube_revenue(sf_dir: str):
                 )
                 .to_arrow_refs()
             )
-            for v in t["p"].to_pylist()
+            # empty input can yield raw-schema blocks (the map fn
+            # never runs); they contribute no priorities
+            for v in (
+                t["p"].to_pylist() if "p" in t.column_names else []
+            )
         }
     )
     p2i = {p: i for i, p in enumerate(prio_names)}
@@ -7361,6 +7377,8 @@ def q_cube_revenue(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    if "cell" not in parts.columns:  # empty input loses the schema
+        parts = pd.DataFrame({"cell": [], "cents": [], "n": []})
     m = parts.groupby("cell", sort=True).sum()
     grid_c = np.zeros((n_regions, n_prios), dtype=np.int64)
     grid_n = np.zeros((n_regions, n_prios), dtype=np.int64)
@@ -8605,13 +8623,15 @@ def q_above_avg_docs(sf_dir: str):
             }
         )
 
-    return (
+    return _with_schema(
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
         )
         .map_batches(count_partial, batch_format="pyarrow")
         .groupby("lang")
-        .aggregate(Sum("n", alias_name="n_above"))
+        .aggregate(Sum("n", alias_name="n_above")),
+        lang=pa.string(),
+        n_above=pa.int64(),
     )
 
 
@@ -9401,14 +9421,17 @@ def q_region_price_quantiles(sf_dir: str):
             }
         )
 
-    return (
+    return _with_schema(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(hist_partial, batch_format="pyarrow")
         .groupby("part")
         .map_groups(quantile_partition, batch_format="pandas")
-        .map_batches(add_name, batch_format="pyarrow")
+        .map_batches(add_name, batch_format="pyarrow"),
+        r_name=pa.string(),
+        p50_cents=pa.int64(),
+        p90_cents=pa.int64(),
     )
 
 
@@ -10421,14 +10444,16 @@ def q_gini_by_priority(sf_dir: str):
             }
         )
 
-    return (
+    return _with_schema(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderpriority", "o_totalprice"],
         )
         .map_batches(hist_partial, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(gini_partition, batch_format="pandas")
+        .map_groups(gini_partition, batch_format="pandas"),
+        o_orderpriority=pa.string(),
+        gini=pa.float64(),
     )
 
 

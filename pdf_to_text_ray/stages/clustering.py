@@ -120,8 +120,24 @@ def kmeans(
     """Lloyd's k-means; init = the k smallest vec_ids' vectors
     (k = min(k, corpus size)). Returns the final assignment Dataset
     (vec_id, cluster, dist). Empty clusters keep their previous
-    centroid, exactly as the SQL oracle's COALESCE does."""
-    init_rows = ds.sort("vec_id").limit(k).take_all()
+    centroid, exactly as the SQL oracle's COALESCE does.
+
+    Init is a per-block bottom-k partial merge — each block emits its
+    own k smallest (vec_id, embedding) rows (blocks x k skinny rows on
+    the driver), NOT a global ``Dataset.sort``: same k rows, zero
+    shuffle of the embedding table."""
+
+    def block_bottom_k(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t.select(["vec_id", "embedding"])
+        idx = np.argsort(t["vec_id"].to_numpy(), kind="stable")[:k]
+        return t.select(["vec_id", "embedding"]).take(
+            pa.array(idx, pa.int64())
+        )
+
+    cand = ds.map_batches(block_bottom_k, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r["vec_id"])
+    init_rows = cand[:k]
     if not init_rows:
         return ray.data.from_arrow(
             pa.table(

@@ -233,6 +233,46 @@ def test_pack_sequences_matches_naive_cumsum(sf_dir):
     )
 
 
+def test_pack_sequences_distributed_offsets_bit_identical(sf_dir):
+    """Forcing the beyond-budget regime (offsets_budget_bytes=1 sends
+    EVERY corpus through _pack_distributed, with SUPER_CHUNKS shrunk so
+    the superchunk scan is genuinely multi-level) must produce
+    bit-identical bins to the broadcast-offsets fast path."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_to_text_ray.stages import packing
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    fast = (
+        packing.pack_sequences(docs, budget=64, chunk_docs=37)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    orig_super = packing.SUPER_CHUNKS
+    packing.SUPER_CHUNKS = 3  # several chunks per superchunk
+    try:
+        slow = (
+            packing.pack_sequences(
+                docs, budget=64, chunk_docs=37, offsets_budget_bytes=1
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        packing.SUPER_CHUNKS = orig_super
+    pd.testing.assert_frame_equal(
+        fast.astype({c: "int64" for c in fast.columns if c != "lang"}),
+        slow[fast.columns].astype(
+            {c: "int64" for c in slow.columns if c != "lang"}
+        ),
+    )
+
+
 def test_pack_bins_are_budget_dense(sf_dir):
     """Concat-then-chunk invariant: within a lang stream every bin
     except the last starts exactly at a budget boundary — the doc

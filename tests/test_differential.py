@@ -832,3 +832,162 @@ def test_ntile_small_groups_match_duckdb(tmp_path):
     _check("ntile_quartiles", str(tmp_path))
     _check("lang_percentiles", str(tmp_path))
     _check("weighted_sample", str(tmp_path))
+
+
+# ---------------- degenerate / tie-heavy corpora (round-5 hardening)
+#
+# The r4 analytic ops (Gini, cohort retention, Spearman, heavy
+# hitters, winsorized mean, quantile family) fuzz above on broad
+# random corpora; these fixtures pin their TIE semantics explicitly:
+# all-equal values, a single group, groups with zero facts, and (for
+# rollup/cube) a fully empty fact table.
+
+def _degenerate_documents(kind: str) -> pa.Table:
+    if kind == "allequal":
+        # every doc identical, ONE lang: maximal ties + single group
+        texts = ["the same words repeated here again now"] * 40
+        langs = ["en"] * 40
+    elif kind == "single":
+        texts = ["lone document. one sentence only!"]
+        langs = ["en"]
+    else:  # twogroups-skew: one giant tied group + one singleton group
+        texts = ["tied tied tied"] * 39 + ["unique longer text here ok"]
+        langs = ["en"] * 39 + ["zz"]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+DEGENERATE_DOC_QUERIES = [
+    "spearman_len_tokens",
+    "heavy_hitter_words",
+    "winsorized_mean",
+    "mad_lengths",
+    "lang_quantile_cont",
+    "lang_percentiles",
+    "ntile_quartiles",
+    "cume_dist_lengths",
+    "above_avg_docs",
+    "top_docs_with_ties",
+]
+
+
+@pytest.fixture(
+    scope="module", params=["allequal", "single", "twogroups-skew"]
+)
+def degenerate_doc_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"degen{request.param.replace('-', '')}")
+    pq.write_table(
+        _degenerate_documents(request.param), str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_DOC_QUERIES)
+def test_analytic_ops_on_degenerate_docs(name, degenerate_doc_dir):
+    _check(name, degenerate_doc_dir)
+
+
+def _degenerate_warehouse(tmpdir: str, empty_orders: bool) -> None:
+    """Dims always present; orders either EMPTY or all-equal
+    totalprice in a single priority with one customer (so whole
+    regions have zero facts)."""
+    _random_relational(71, tmpdir)
+    if empty_orders:
+        n = 0
+    else:
+        n = 50
+    from datetime import datetime
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([0] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array([1234.56] * n, pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime(1997, 3, 1)] * n, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        ),
+        f"{tmpdir}/orders.parquet",
+    )
+
+
+DEGENERATE_ORDER_QUERIES = [
+    "gini_by_priority",
+    "region_price_quantiles",
+    "rollup_revenue",
+    "cube_revenue",
+]
+
+
+@pytest.fixture(scope="module", params=[False, True])
+def degenerate_rel_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"degenrel{int(request.param)}")
+    _degenerate_warehouse(str(d), empty_orders=request.param)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_ORDER_QUERIES)
+def test_analytic_ops_on_degenerate_warehouse(name, degenerate_rel_dir):
+    got = to_pandas(QUERIES[name](degenerate_rel_dir))
+    con = duckdb.connect()
+    for tbl in "region nation customer orders".split():
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{degenerate_rel_dir}/{tbl}.parquet')"
+        )
+    exp = _arrow_exact_df(con.sql(ORACLE_SQL[name]).arrow())
+    problems = compare(name, got, exp)
+    assert not problems, f"{name}: " + "; ".join(problems[:3])
+
+
+def _degenerate_events() -> pa.Table:
+    """One user, every event at the SAME microsecond (total tie), plus
+    one other user with events exactly on week/day boundaries."""
+    from datetime import datetime
+
+    base = datetime(2026, 3, 5)
+    boundary = datetime(1970, 1, 8)  # exact epoch-week boundary
+    rows = [(i, base, 1, "click", 1.5, "{}") for i in range(30)]
+    rows += [
+        (30 + j, boundary, 2, "purchase", 2.5, "{}") for j in range(3)
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+DEGENERATE_EVENT_QUERIES = [
+    "cohort_retention",
+    "user_degree_hist",
+    "events_ewma",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("degenev")
+    pq.write_table(_degenerate_events(), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_EVENT_QUERIES)
+def test_analytic_ops_on_degenerate_events(name, degenerate_events_dir):
+    _check_table(name, degenerate_events_dir, "events")
