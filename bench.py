@@ -180,6 +180,20 @@ BENCH_QUERIES = [
     "domain_blocklist",
     "corpus_export",
     "semantic_dedup",
+    # round-5 completion: the 12 previously-unbenched registry rows —
+    # the whole 153-query registry is now benched
+    "normalize_text",
+    "clean_text",
+    "ocr_whitelist",
+    "sniff_doc_types",
+    "combine_pages_ref",
+    "combine_pages_lex",
+    "size_class_counts",
+    "image_resize",
+    "blueprint_validate",
+    "blueprint_generate",
+    "render_pptx_styled",
+    "chart_parse",
 ]
 HEADLINE = "extract_e2e"
 
