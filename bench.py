@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "blueprint_generate",
     "render_pptx_styled",
     "chart_parse",
+    "token_shard_export",
 ]
 HEADLINE = "extract_e2e"
 

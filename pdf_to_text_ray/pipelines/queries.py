@@ -6123,6 +6123,63 @@ def q_corpus_export(sf_dir: str):
     return pack_sequences(unique_docs)
 
 
+def q_token_shard_export(sf_dir: str):
+    """Tokenized-shard export (sinks/tokshard.py): the fixed-size
+    .bin/.idx mmap layout a trainer's loader consumes, one step past
+    corpus_export's bin plan. The registry entry runs the full
+    distributed assembly (map-side md5-nibble tokenization -> packing
+    chunk-offset scan -> per-shard segmenting -> bounded-partition
+    shard assembly) WITHOUT file I/O and returns per-shard metadata
+    derived from the assembled BYTES (count / sum / first / last token
+    id) — the oracle recomputes the same from SQL nibble arithmetic,
+    so a byte mis-assembly (wrong order, wrong split, wrong id) breaks
+    the hash. File writing + resume are pinned by
+    tests/test_tokshard.py."""
+    from ..sinks.tokshard import export_token_shards
+
+    return export_token_shards(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "text"],
+        )
+    )
+
+
+def _token_shard_sql() -> str:
+    from ..sinks.tokshard import SHARD_TOKENS
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(text, '{_ASCII_TOK_PAT}') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, toks,
+    CAST(COALESCE(SUM(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start
+  FROM t),
+u AS (
+  SELECT lang,
+         start + CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+         md5(unnest(toks)) AS hh
+  FROM s),
+ids AS (
+  SELECT lang, pos, pos // {SHARD_TOKENS} AS shard_id,
+    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) AS tid
+  FROM u)
+SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(tid) AS BIGINT) AS tok_sum,
+  CAST(arg_min(tid, pos) AS BIGINT) AS first_tok,
+  CAST(arg_max(tid, pos) AS BIGINT) AS last_tok
+FROM ids GROUP BY lang, shard_id
+"""
+
+
 def _corpus_export_sql() -> str:
     return f"""
 WITH g AS ({_gopher_subset_sql()}
@@ -10565,6 +10622,8 @@ QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
     "extract_e2e": q_extract_e2e,
+    # --- round-5 addition (newest, least proven — sampled prefix) ---
+    "token_shard_export": q_token_shard_export,
     # --- r5 front-rotation: the only 3 registry rows without a green
     # driver CORRECTNESS row in any round (embedding_quantize never
     # sampled; size_class_counts / media_features only have pre-oracle
@@ -10795,6 +10854,7 @@ ORACLE_SQL = {
     "filter_funnel": _filter_funnel_sql(),
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "corpus_export": _corpus_export_sql(),
+    "token_shard_export": _token_shard_sql(),
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "ivf_topk": SQL_IVF_TOPK,

@@ -171,6 +171,7 @@ DIFFERENTIAL_QUERIES = [
     "bpe_token_count",
     "pmi_top_pairs",
     "weighted_sample",
+    "token_shard_export",
 ]
 
 
