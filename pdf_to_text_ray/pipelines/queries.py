@@ -23,6 +23,8 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG
 from ..functions import scalar
+from ..functions.rounding import round6 as _round6
+from ..functions.rounding import round6_np as _round6_np
 from ..stages import dedup as dedup_mod
 from ..stages import multimodal
 from ..stages import relational
@@ -1244,7 +1246,7 @@ def q_len_token_corr(sf_dir: str):
     denx = n * sxx - sx * sx
     deny = n * syy - sy * sy
     corr = (
-        round(num / (denx**0.5 * deny**0.5), 6)
+        _round6(num / (denx**0.5 * deny**0.5))
         if denx > 0 and deny > 0
         else None
     )
@@ -1415,7 +1417,7 @@ def q_doclen_zscore(sf_dir: str):
 
         x = t["n_chars"].to_numpy().astype(np.float64)
         z = (
-            np.round((x - mean) / sd, 6)
+            _round6_np((x - mean) / sd)
             if sd > 0.0
             else np.zeros(len(x))
         )
@@ -1570,7 +1572,7 @@ def q_bm25_topk(sf_dir: str):
                     / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
                 )
             ids.append(did)
-            scores.append(round(s, 6))
+            scores.append(_round6(s))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -2635,7 +2637,7 @@ def q_weighted_avg_discount(sf_dir: str):
         .to_pandas()
     )
     merged["avg_discount_bp"] = [
-        round(n / d, 6) if d else None
+        _round6(n / d) if d else None
         for n, d in zip(merged["num"], merged["den"])
     ]
     return merged[["l_returnflag", "avg_discount_bp"]]
@@ -2747,7 +2749,7 @@ def q_lang_vocab_overlap(sf_dir: str):
                 "lang_a": a,
                 "lang_b": b,
                 "n_common": i,
-                "jaccard": round(i / u, 6) if u else None,
+                "jaccard": _round6(i / u) if u else None,
             }
         )
     df = pd.DataFrame(
@@ -5040,7 +5042,7 @@ def q_embedding_near_dups(sf_dir: str):
                 "vec_a": pa.array(bids[ii], pa.int64()),
                 "vec_b": pa.array(cids[jj], pa.int64()),
                 "sim": pa.array(
-                    [round(float(x), 6) for x in sims[ii, jj]], pa.float64()
+                    [_round6(float(x)) for x in sims[ii, jj]], pa.float64()
                 ),
             }
         )
@@ -7081,8 +7083,8 @@ def q_lang_regression(sf_dir: str):
         langs.append(lang)
         ns.append(n)
         if den > 0:
-            slopes.append(round((n * sxy - sx * sy) / den, 6))
-            intercepts.append(round((sy * sxx - sx * sxy) / den, 6))
+            slopes.append(_round6((n * sxy - sx * sy) / den))
+            intercepts.append(_round6((sy * sxx - sx * sxy) / den))
         else:
             slopes.append(None)
             intercepts.append(None)
@@ -8083,7 +8085,7 @@ def q_weighted_sample(sf_dir: str, k: int = 30):
             "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
             "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
             "priority": pa.array(
-                [round(r["key"], 6) for r in rows], pa.float64()
+                [_round6(r["key"]) for r in rows], pa.float64()
             ),
         }
     )
@@ -8727,7 +8729,7 @@ def q_lang_quantile_cont(sf_dir: str):
             lo = int(np.floor(h))
             frac = h - lo
             v = at(lo) if frac == 0.0 else at(lo) + frac * (at(lo + 1) - at(lo))
-            out[col].append(round(v, 6))
+            out[col].append(_round6(v))
     return pa.table(
         {
             "lang": pa.array(out["lang"], pa.string()),
@@ -9227,7 +9229,7 @@ def q_lang_source_chi2(sf_dir: str):
     dof = (len(langs) - 1) * (len(srcs) - 1)
     return pa.table(
         {
-            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "chi2": pa.array([_round6(chi2)], pa.float64()),
             "dof": pa.array([dof], pa.int64()),
         }
     )
@@ -9340,7 +9342,7 @@ def q_winsorized_mean(sf_dir: str):
         clipped = np.clip(vals, lo, hi)
         s = int((clipped * cnts).sum())
         out["lang"].append(lang)
-        out["wmean"].append(round(s / n, 6))
+        out["wmean"].append(_round6(s / n))
     return pa.table(
         {
             "lang": pa.array(out["lang"], pa.string()),
@@ -9671,7 +9673,7 @@ def q_spearman_len_tokens(sf_dir: str):
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
     sp = (
-        round(float(n * sxy - sx * sy) / (vx**0.5 * vy**0.5), 6)
+        _round6(float(n * sxy - sx * sy) / (vx**0.5 * vy**0.5))
         if vx > 0 and vy > 0
         else None
     )
@@ -10205,8 +10207,8 @@ def q_lineitem_profile(sf_dir: str):
         out["n"].append(n)
         out["vmin"].append(mn)
         out["vmax"].append(mx)
-        out["mean"].append(round(sx / n, 6))
-        out["std"].append(round(math.sqrt(float(n * sxx - sx * sx)) / n, 6))
+        out["mean"].append(_round6(sx / n))
+        out["std"].append(_round6(math.sqrt(float(n * sxx - sx * sx)) / n))
     return pa.table(
         {
             "col": pa.array(out["col"], pa.string()),
@@ -10338,7 +10340,7 @@ def q_nation_revenue_share(sf_dir: str):
             "revenue_cents": pa.array([r["cents"] for r in rows], pa.int64()),
             "share": pa.array(
                 [
-                    round(r["cents"] / region_tot[nk2r[r["nk"]]], 6)
+                    _round6(r["cents"] / region_tot[nk2r[r["nk"]]])
                     for r in rows
                 ],
                 pa.float64(),
@@ -10493,7 +10495,7 @@ def q_gini_by_priority(sf_dir: str):
                 )
                 c += mi
             out_p.append(prio)
-            out_g.append(round(num / (n * total), 6) if total else None)
+            out_g.append(_round6(num / (n * total)) if total else None)
         return pa.table(
             {
                 "o_orderpriority": pa.array(out_p, pa.string()),

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
+from ..functions.rounding import round6_np
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
@@ -314,7 +315,7 @@ def _ewma_partition(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": pd.array(uid[starts], "int64"),
-            "ewma": np.round(sums, 6),
+            "ewma": round6_np(sums),
         }
     )
 

@@ -21,6 +21,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ..functions.rounding import round6, round6_np
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
@@ -76,7 +77,7 @@ def _topk_per_query(k: int):
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
         df = df.reset_index(drop=True)
         df["rank"] = pd.array(range(1, len(df) + 1), "int64")
-        df["sim"] = df["sim"].round(6)
+        df["sim"] = round6_np(df["sim"].to_numpy())
         return df
 
     return fn
@@ -309,7 +310,7 @@ def _pairs_within_bucket(threshold: float):
                 "vec_a": pa.array(a, pa.int64()),
                 "vec_b": pa.array(b, pa.int64()),
                 "sim": pa.array(
-                    [round(float(x), 6) for x in s], pa.float64()
+                    [round6(float(x)) for x in s], pa.float64()
                 ),
             }
         )

@@ -15,6 +15,7 @@ import re
 import pyarrow as pa
 
 from ..functions.hashing import md5_hex, simhash64, winnow_fingerprint
+from ..functions.rounding import round6
 
 _RE_TOKEN = re.compile(r"\S+")
 _RE_WORD = re.compile(r"[a-z]+")
@@ -325,7 +326,7 @@ def make_unigram_scorer(model_ref):
             words = _RE_WORD.findall(t.lower())
             n_words.append(len(words))
             lps.append(
-                round(sum(model[w] for w in words) / len(words), 6)
+                round6(sum(model[w] for w in words) / len(words))
                 if words
                 else 0.0
             )
@@ -513,7 +514,7 @@ def make_dsir_scorer(model_ref):
             words = _RE_WORD.findall(t.lower())
             n_words.append(len(words))
             lws.append(
-                round(sum(model[w] for w in words) / len(words), 6)
+                round6(sum(model[w] for w in words) / len(words))
                 if words
                 else 0.0
             )
@@ -619,7 +620,7 @@ def make_bigram_scorer(model_ref):
             pairs = list(zip(words, words[1:]))
             n_big.append(len(pairs))
             lps.append(
-                round(sum(model[p] for p in pairs) / len(pairs), 6)
+                round6(sum(model[p] for p in pairs) / len(pairs))
                 if pairs
                 else 0.0
             )

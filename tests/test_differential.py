@@ -992,3 +992,31 @@ def degenerate_events_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", DEGENERATE_EVENT_QUERIES)
 def test_analytic_ops_on_degenerate_events(name, degenerate_events_dir):
     _check_table(name, degenerate_events_dir, "events")
+
+
+def test_round6_matches_duckdb_round_on_ties():
+    """The engine's shared 6-dp rounding (functions/rounding.py) must
+    equal DuckDB round(x, 6) EXACTLY — including on the 1e-6 half grid
+    where Python's banker's round diverges (advisor finding)."""
+    import numpy as np
+
+    from pdf_to_text_ray.functions.rounding import round6, round6_np
+
+    rng = random.Random(11)
+    vals = [rng.uniform(-100, 100) for _ in range(3000)]
+    vals += [i / 2e6 for i in range(-60, 60)]
+    vals += [1.0000005, 2.0000015, -1.0000005, 4.9999995, -4.9999995]
+    con = duckdb.connect()
+    exp = [
+        con.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+        for v in vals
+    ]
+    got_np = round6_np(np.asarray(vals))
+    n_py_diff = 0
+    for v, e, gn in zip(vals, exp, got_np):
+        g = round6(v)
+        assert g == e or (g == 0 == e), (v, g, e)
+        assert gn == e or (gn == 0 == e), (v, gn, e)
+        if round(v, 6) != e:
+            n_py_diff += 1
+    assert n_py_diff > 0  # the battery genuinely exercises the ties
