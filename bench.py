@@ -195,6 +195,13 @@ BENCH_QUERIES = [
     "render_pptx_styled",
     "chart_parse",
     "token_shard_export",
+    # round-5 batch 2 (broadcast-regime joins + bounded-partition
+    # vocab reduce — no shuffle actors, safe to run late)
+    "promo_revenue",
+    "disjunctive_revenue",
+    "late_shipment_priority",
+    "vocab_profile",
+    "mode_source_per_lang",
 ]
 HEADLINE = "extract_e2e"
 

@@ -10620,6 +10620,545 @@ GROUP BY f.cohort, uw.wk
 """
 
 
+# ------------------------------------- round-5 additions (batch 2)
+
+_DAY_US = 86_400_000_000
+
+
+def q_promo_revenue(sf_dir: str):
+    """Promo revenue share per ship-month (the TPC-H Q14 shape): part
+    is a DIMENSION, so it broadcasts once as a sorted
+    partkey→is_promo lookup (`ray.put`, per-worker LRU) and lineitem
+    enriches map-side — the fact table never shuffles. Revenue folds
+    per batch into one row per distinct ship-month (np.unique +
+    add.at), so the only groupby runs at O(months), not |lineitem|.
+    The share column is the raw int/int IEEE division (bit-identical
+    to DuckDB BIGINT/BIGINT → DOUBLE)."""
+    import numpy as np
+
+    part_t = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    keys = np.asarray(part_t["p_partkey"].to_pylist(), dtype=np.int64)
+    promo = np.asarray(
+        [x == "PROMO" for x in part_t["p_type"].to_pylist()], dtype=np.int64
+    )
+    order = np.argsort(keys, kind="stable")
+    lookup_ref = ray.put((keys[order], promo[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys_s, promo_s = cached_get(lookup_ref)
+        pk = t["l_partkey"].to_numpy()
+        if len(keys_s) == 0:
+            found = _np.zeros(len(pk), dtype=bool)
+            pos = _np.zeros(len(pk), dtype=_np.int64)
+        else:
+            pos = _np.minimum(
+                _np.searchsorted(keys_s, pk), len(keys_s) - 1
+            )
+            found = keys_s[pos] == pk
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        cents = _np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(_np.int64)
+        month = (
+            pc.cast(t["l_shipdate"], pa.int64())
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(_np.int64)
+        )
+        is_promo = _np.zeros(len(pk), dtype=_np.int64)
+        is_promo[found] = promo_s[pos[found]]
+        um, inv = _np.unique(month[found], return_inverse=True)
+        p_c = _np.zeros(len(um), dtype=_np.int64)
+        t_c = _np.zeros(len(um), dtype=_np.int64)
+        cf = cents[found]
+        _np.add.at(p_c, inv, cf * is_promo[found])
+        _np.add.at(t_c, inv, cf)
+        return pa.table(
+            {
+                "ship_month": pa.array(
+                    _np.datetime_as_string(um.astype("datetime64[M]")),
+                    pa.string(),
+                ),
+                "promo_cents": pa.array(p_c, pa.int64()),
+                "total_cents": pa.array(t_c, pa.int64()),
+            }
+        )
+
+    def add_share(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        p = t["promo_cents"].to_numpy()
+        tot = t["total_cents"].to_numpy()
+        safe = _np.where(tot == 0, 1, tot)
+        share = p / safe
+        return t.append_column(
+            "promo_share",
+            pa.array(share, pa.float64(), mask=(tot == 0)),
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .map_batches(add_share, batch_format="pyarrow")
+    )
+
+
+SQL_PROMO_REVENUE = """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+            AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+            AS BIGINT)
+         / CAST(sum(cents) AS BIGINT) AS promo_share
+FROM j GROUP BY ship_month
+"""
+
+
+# OR-of-ANDs predicate clauses: (brand, max p_size, qty lo, qty hi).
+# Brand#1/2/3 exist in both the sf testdata and the fuzz warehouse.
+_DISJ_CLAUSES = (
+    ("Brand#1", 15, 1.0, 11.0),
+    ("Brand#2", 25, 10.0, 20.0),
+    ("Brand#3", 35, 20.0, 30.0),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """Disjunctive multi-predicate join (the TPC-H Q19 shape): the
+    part-side half of each OR clause (brand + size range) precomputes
+    into a per-part 3-bit clause mask that broadcasts with the sorted
+    partkey lookup; lineitem evaluates the remaining quantity ranges
+    map-side with pure numpy boolean algebra and folds to ONE
+    (n, cents) row per batch — no shuffle anywhere, final fold is
+    O(#batches). Empty-match semantics mirror SQL's ungrouped
+    aggregate: one row, n_lines 0, revenue_cents NULL."""
+    import numpy as np
+
+    part_t = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    keys = np.asarray(part_t["p_partkey"].to_pylist(), dtype=np.int64)
+    brands = part_t["p_brand"].to_pylist()
+    sizes = np.asarray(part_t["p_size"].to_pylist(), dtype=np.int64)
+    mask3 = np.zeros(len(keys), dtype=np.uint8)
+    for bit, (brand, size_hi, _, _) in enumerate(_DISJ_CLAUSES):
+        hit = np.asarray(
+            [b == brand for b in brands], dtype=bool
+        ) & (sizes >= 1) & (sizes <= size_hi)
+        mask3[hit] |= 1 << bit
+    order = np.argsort(keys, kind="stable")
+    lookup_ref = ray.put((keys[order], mask3[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        keys_s, mask_s = cached_get(lookup_ref)
+        pk = t["l_partkey"].to_numpy()
+        if len(keys_s) == 0:
+            m = _np.zeros(len(pk), dtype=_np.uint8)
+        else:
+            pos = _np.minimum(
+                _np.searchsorted(keys_s, pk), len(keys_s) - 1
+            )
+            m = _np.where(keys_s[pos] == pk, mask_s[pos], 0).astype(
+                _np.uint8
+            )
+        qty = t["l_quantity"].to_numpy()
+        ok = _np.zeros(len(pk), dtype=bool)
+        for bit, (_, _, qlo, qhi) in enumerate(_DISJ_CLAUSES):
+            ok |= ((m >> bit) & 1).astype(bool) & (qty >= qlo) & (
+                qty <= qhi
+            )
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        cents = _np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(
+            _np.int64
+        )
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int32()),
+                "n": pa.array([int(ok.sum())], pa.int64()),
+                "cents": pa.array([int(cents[ok].sum())], pa.int64()),
+            }
+        )
+
+    def finalize(df) -> pa.Table:
+        n = int(df["n"].sum())
+        c = int(df["cents"].sum())
+        return pa.table(
+            {
+                "n_lines": pa.array([n], pa.int64()),
+                "revenue_cents": pa.array(
+                    [c if n else None], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_late_shipment_priority(sf_dir: str, key_budget_bytes: int = 64 * 2**20):
+    """CASE-bucketed counts over a fact⋈fact join (the TPC-H Q12
+    shape, restated for this schema): lines shipped >90 days after
+    their order date, counted per return flag split by order-priority
+    class. The orders side reduces to a skinny (orderkey, date_us,
+    is_high) table — |orders| rows, not |lineitem| — and the regime
+    is gated by MEASURED bytes (the order_priority_semi pattern):
+    under ``key_budget_bytes`` it broadcasts as a sorted lookup and
+    lineitem folds map-side into per-(flag) partial counts; beyond it
+    the two skinny column sets meet in a distributed hash join.
+    Regimes pinned identical by tests/test_relational.py."""
+    import numpy as np
+
+    def orders_skinny(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        pr = t["o_orderpriority"].to_pylist()
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "od_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "is_high": pa.array(
+                    _np.asarray(
+                        [p in _HIGH_PRIORITIES for p in pr], dtype=_np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders_red = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(orders_skinny, batch_format="pyarrow")
+        .materialize()
+    )
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+    )
+
+    def count_partial(
+        flags, late: "np.ndarray", high: "np.ndarray"
+    ) -> pa.Table:
+        import numpy as _np
+
+        f = _np.asarray(flags, dtype=object)[late]
+        h = high[late]
+        uf, inv = _np.unique(f, return_inverse=True)
+        hi = _np.zeros(len(uf), dtype=_np.int64)
+        lo = _np.zeros(len(uf), dtype=_np.int64)
+        _np.add.at(hi, inv, h)
+        _np.add.at(lo, inv, 1 - h)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(list(uf), pa.string()),
+                "high_n": pa.array(hi, pa.int64()),
+                "low_n": pa.array(lo, pa.int64()),
+            }
+        )
+
+    if orders_red.size_bytes() > key_budget_bytes:
+        joined = line.join(
+            orders_red,
+            join_type="inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def fold_joined(t: pa.Table) -> pa.Table:
+            ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+            late = ship > t["od_us"].to_numpy() + 90 * _DAY_US
+            return count_partial(
+                t["l_returnflag"].to_pylist(),
+                late,
+                t["is_high"].to_numpy(),
+            )
+
+        folded = joined.map_batches(fold_joined, batch_format="pyarrow")
+    else:
+        blocks = [
+            (
+                b["o_orderkey"].to_numpy(),
+                b["od_us"].to_numpy(),
+                b["is_high"].to_numpy(),
+            )
+            for b in ray.get(orders_red.to_arrow_refs())
+            if b.num_rows
+        ]
+        ok = np.concatenate(
+            [b[0] for b in blocks] or [np.empty(0, np.int64)]
+        )
+        od = np.concatenate(
+            [b[1] for b in blocks] or [np.empty(0, np.int64)]
+        )
+        hi = np.concatenate(
+            [b[2] for b in blocks] or [np.empty(0, np.int64)]
+        )
+        order = np.argsort(ok, kind="stable")
+        lookup_ref = ray.put((ok[order], od[order], hi[order]))
+
+        def fold_bcast(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            from ..functions.broadcast import cached_get
+
+            keys_s, od_s, hi_s = cached_get(lookup_ref)
+            lk = t["l_orderkey"].to_numpy()
+            ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+            if len(keys_s) == 0:
+                late = _np.zeros(len(lk), dtype=bool)
+                high = _np.zeros(len(lk), dtype=_np.int64)
+            else:
+                pos = _np.minimum(
+                    _np.searchsorted(keys_s, lk), len(keys_s) - 1
+                )
+                found = keys_s[pos] == lk
+                late = found & (ship > od_s[pos] + 90 * _DAY_US)
+                high = hi_s[pos]
+            return count_partial(
+                t["l_returnflag"].to_pylist(), late, high
+            )
+
+        folded = line.map_batches(fold_bcast, batch_format="pyarrow")
+
+    return folded.groupby("l_returnflag").aggregate(
+        Sum("high_n", alias_name="high_line_count"),
+        Sum("low_n", alias_name="low_line_count"),
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT l_returnflag,
+       CAST(coalesce(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS high_line_count,
+       CAST(coalesce(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END), 0) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_vocab_profile(sf_dir: str):
+    """Per-language vocabulary profile: token count, distinct-word
+    count, hapax-legomena count and the type-token ratio. (lang, word)
+    counts reduce through bounded crc32(word) hash partitions — a word
+    lives wholly in ONE partition, so distinct/hapax partials add
+    across partitions and the vocabulary never meets a global
+    sort-aggregate; the final groupby folds 64 partials per lang.
+    Tokenization is the oracle's string_split(lower(text), ' ')
+    byte-for-byte (the top_words contract)."""
+    import zlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            c.update(
+                (lang, w) for w in text.lower().split(" ") if w
+            )
+        langs = [k[0] for k in c]
+        words = [k[1] for k in c]
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(w.encode("utf-8")) & 63 for w in words],
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def stats_partition(df) -> pa.Table:
+        g = df.groupby(["lang", "word"], sort=False, as_index=False)[
+            "n"
+        ].sum()
+        s = g.groupby("lang", sort=False).agg(
+            n_tokens=("n", "sum"),
+            n_distinct=("n", "size"),
+            n_hapax=("n", lambda x: int((x == 1).sum())),
+        )
+        s = s.reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(s["lang"], pa.string()),
+                "n_tokens": pa.array(s["n_tokens"], pa.int64()),
+                "n_distinct": pa.array(s["n_distinct"], pa.int64()),
+                "n_hapax": pa.array(s["n_hapax"], pa.int64()),
+            }
+        )
+
+    def add_ttr(t: pa.Table) -> pa.Table:
+        d = t["n_distinct"].to_numpy()
+        n = t["n_tokens"].to_numpy()
+        import numpy as _np
+
+        safe = _np.where(n == 0, 1, n)
+        return t.append_column(
+            "type_token_ratio",
+            pa.array(d / safe, pa.float64(), mask=(n == 0)),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(stats_partition, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_hapax", alias_name="n_hapax"),
+        )
+        .map_batches(add_ttr, batch_format="pyarrow")
+    )
+
+
+SQL_VOCAB_PROFILE = """
+WITH w AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY lang, word)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       CAST(count(*) AS BIGINT) / CAST(sum(c) AS BIGINT)
+         AS type_token_ratio
+FROM w GROUP BY lang
+"""
+
+
+def q_mode_source_per_lang(sf_dir: str):
+    """Categorical mode per group: the most frequent source per
+    language (ties → lexicographically smallest source). Per-batch
+    value_counts over the joined (lang␟source) key folds map-side
+    (Arrow kernel, zero Python row loops), the groupby runs at
+    O(langs × sources) — never corpus cardinality — and the per-lang
+    argmax is one tiny map_groups."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            t["lang"], t["source"], _US
+        )
+        vc = pc.value_counts(joined)
+        pairs = [v.split(_US, 1) for v in vc.field("values").to_pylist()]
+        return pa.table(
+            {
+                "lang": pa.array([p[0] for p in pairs], pa.string()),
+                "source": pa.array([p[1] for p in pairs], pa.string()),
+                "n": pa.array(
+                    vc.field("counts").to_numpy().astype("int64"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def top1(df) -> pa.Table:
+        df = df.sort_values(
+            ["n", "source"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "mode_source": pa.array(df["source"], pa.string()),
+                "n": pa.array(df["n"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(top1, batch_format="pandas")
+    )
+
+
+SQL_MODE_SOURCE_PER_LANG = """
+SELECT lang, source AS mode_source, n FROM (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, source) AS rn
+  FROM documents GROUP BY lang, source)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -10633,6 +11172,12 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "size_class_counts": q_size_class_counts,
     "media_features": q_media_features,
+    # --- round-5 batch 2 (newest, least proven — sampled prefix) ---
+    "promo_revenue": q_promo_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "late_shipment_priority": q_late_shipment_priority,
+    "vocab_profile": q_vocab_profile,
+    "mode_source_per_lang": q_mode_source_per_lang,
     # --- round-4 late batch: newest, least-proven — keep in the
     # sampled prefix ---
     "large_orders": q_large_orders,
@@ -10803,6 +11348,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+    "vocab_profile": SQL_VOCAB_PROFILE,
+    "mode_source_per_lang": SQL_MODE_SOURCE_PER_LANG,
     "large_orders": SQL_LARGE_ORDERS,
     "idle_customers": SQL_IDLE_CUSTOMERS,
     "heavy_hitter_words": SQL_HEAVY_HITTER_WORDS,

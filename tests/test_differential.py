@@ -172,6 +172,8 @@ DIFFERENTIAL_QUERIES = [
     "pmi_top_pairs",
     "weighted_sample",
     "token_shard_export",
+    "vocab_profile",
+    "mode_source_per_lang",
 ]
 
 
@@ -610,6 +612,9 @@ RELATIONAL_QUERIES = [
     "lineitem_profile",
     "nation_revenue_share",
     "gini_by_priority",
+    "promo_revenue",
+    "disjunctive_revenue",
+    "late_shipment_priority",
 ]
 
 

@@ -602,6 +602,24 @@ def test_idle_customers_regimes_identical(sf_dir):
     assert broadcast and sum(n for _, n, _b in broadcast) > 0
 
 
+def test_late_shipment_priority_regimes_identical(sf_dir):
+    """Q12-shape fact-fact join: the broadcast-lookup and distributed
+    hash-join regimes (measured orders-side byte gate) must agree
+    exactly."""
+    from pdf_to_text_ray.pipelines.queries import q_late_shipment_priority
+
+    def rows(**kw):
+        return sorted(
+            (r["l_returnflag"], r["high_line_count"], r["low_line_count"])
+            for r in q_late_shipment_priority(sf_dir, **kw).take_all()
+        )
+
+    broadcast = rows()
+    joined = rows(key_budget_bytes=0)
+    assert broadcast == joined
+    assert broadcast and sum(h + l for _, h, l in broadcast) > 0
+
+
 def test_heavy_hitter_candidates_are_superset(sf_dir):
     """The per-block frequent-items pass must never drop a true heavy
     hitter: compare the engine (candidate-restricted recount) against
