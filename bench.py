@@ -202,6 +202,10 @@ BENCH_QUERIES = [
     "late_shipment_priority",
     "vocab_profile",
     "mode_source_per_lang",
+    "orders_mom_delta",
+    "bulk_suppliers",
+    "session_stats",
+    "daily_anomaly",
 ]
 HEADLINE = "extract_e2e"
 

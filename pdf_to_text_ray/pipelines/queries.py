@@ -11159,6 +11159,360 @@ WHERE rn = 1
 """
 
 
+def q_orders_mom_delta(sf_dir: str):
+    """LAG over an aggregated series: monthly order counts with the
+    previous month's count and the month-over-month relative change.
+    Months fold map-side per batch (np.unique — the groupby runs at
+    O(months), never |orders|); the LAG itself is one vectorized pass
+    over the tiny month series in a single group. prev_n is NULL on
+    the first month and the change is the raw int/int IEEE division."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        month = (
+            pc.cast(t["o_orderdate"], pa.int64())
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(_np.int64)
+        )
+        um, cnt = _np.unique(month, return_counts=True)
+        return pa.table(
+            {
+                "month": pa.array(
+                    _np.datetime_as_string(um.astype("datetime64[M]")),
+                    pa.string(),
+                ),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+                "g": pa.array(_np.zeros(len(um), _np.int32), pa.int32()),
+            }
+        )
+
+    def lag_fold(df) -> pa.Table:
+        import numpy as _np
+
+        agg = df.groupby("month", sort=True, as_index=False)["n"].sum()
+        n = agg["n"].to_numpy().astype(_np.int64)
+        prev = _np.roll(n, 1)
+        has_prev = _np.arange(len(n)) > 0
+        safe_prev = _np.where(has_prev, prev, 1)
+        change = (n - safe_prev) / safe_prev
+        return pa.table(
+            {
+                "month": pa.array(agg["month"], pa.string()),
+                "n_orders": pa.array(n, pa.int64()),
+                "prev_n": pa.array(prev, pa.int64(), mask=~has_prev),
+                "mom_change": pa.array(
+                    change, pa.float64(), mask=~has_prev
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lag_fold, batch_format="pandas")
+    )
+
+
+SQL_ORDERS_MOM_DELTA = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT month, n_orders,
+       lag(n_orders) OVER (ORDER BY month) AS prev_n,
+       (n_orders - lag(n_orders) OVER (ORDER BY month))
+         / lag(n_orders) OVER (ORDER BY month) AS mom_change
+FROM m
+"""
+
+_BULK_QTY_THRESHOLD = 100
+
+
+def q_bulk_suppliers(sf_dir: str):
+    """Nested semi-join against a grouped HAVING (the TPC-H Q20
+    shape, restated): suppliers with at least one part whose total
+    shipped quantity exceeds the threshold. Per-(part,supplier)
+    quantity sums reduce map-side into packed int64 keys inside
+    bounded key-hash partitions (|part×supp| rows, not |lineitem|);
+    the surviving supplier-key set is a tiny distinct that broadcasts
+    to filter the supplier DIMENSION map-side — lineitem never
+    shuffles raw and no join materializes."""
+    import numpy as np
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        pk = t["l_partkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        qty = pc.cast(t["l_quantity"], pa.int64()).to_numpy()
+        _guard_pack(pk, sk, _SUPP_BITS, "bulk_suppliers (part,supp)")
+        key, inv = _np.unique(
+            pk * (1 << _SUPP_BITS) + sk, return_inverse=True
+        )
+        sums = _np.zeros(len(key), dtype=_np.int64)
+        _np.add.at(sums, inv, qty)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "q": pa.array(sums, pa.int64()),
+                "part": pa.array(
+                    (key & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def survivors_partition(df) -> pa.Table:
+        import numpy as _np
+
+        key = df["key"].to_numpy()
+        uk, inv = _np.unique(key, return_inverse=True)
+        sums = _np.zeros(len(uk), dtype=_np.int64)
+        _np.add.at(sums, inv, df["q"].to_numpy())
+        supp = _np.unique(uk[sums > _BULK_QTY_THRESHOLD] & _SUPP_MASK)
+        return pa.table({"s_suppkey": pa.array(supp, pa.int64())})
+
+    survivors = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(survivors_partition, batch_format="pandas")
+    )
+    keys = np.unique(
+        np.concatenate(
+            [
+                b["s_suppkey"].to_numpy()
+                for b in ray.get(survivors.to_arrow_refs())
+                if b.num_rows
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    def filter_dim(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        ks = cached_get(keys_ref)
+        sk = t["s_suppkey"].to_numpy()
+        if len(ks) == 0:
+            keep = _np.zeros(len(sk), dtype=bool)
+        else:
+            pos = _np.minimum(_np.searchsorted(ks, sk), len(ks) - 1)
+            keep = ks[pos] == sk
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        .map_batches(filter_dim, batch_format="pyarrow")
+    )
+
+
+SQL_BULK_SUPPLIERS = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM sp
+                    WHERE q > {_BULK_QTY_THRESHOLD})
+"""
+
+
+def q_session_stats(sf_dir: str):
+    """Aggregate over a windowed derivation: global session-count,
+    events-per-session and duration statistics over the 30-min-gap
+    sessions of relational.sessionize. Per-session rows fold per
+    batch into ONE (k, Σevents, Σduration, max duration) partial —
+    the final reduce is O(#batches); averages are raw int/int IEEE
+    divisions. Empty-events semantics mirror SQL's ungrouped
+    aggregate (one row, zero count, NULL stats)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    sessions = relational.sessionize(events)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ne = t["n_events"].to_numpy()
+        dur = (
+            pc.cast(t["end_ts"], pa.int64()).to_numpy()
+            - pc.cast(t["start_ts"], pa.int64()).to_numpy()
+        )
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int32()),
+                "k": pa.array([len(ne)], pa.int64()),
+                "se": pa.array([int(ne.sum())], pa.int64()),
+                "sd": pa.array([int(dur.sum())], pa.int64()),
+                "md": pa.array(
+                    [int(dur.max()) if len(dur) else None], pa.int64()
+                ),
+            }
+        )
+
+    def finalize(df) -> pa.Table:
+        k = int(df["k"].sum())
+        se = int(df["se"].sum())
+        sd = int(df["sd"].sum())
+        md = df["md"].dropna()
+        return pa.table(
+            {
+                "n_sessions": pa.array([k], pa.int64()),
+                "avg_events": pa.array(
+                    [se / k if k else None], pa.float64()
+                ),
+                "avg_duration_us": pa.array(
+                    [sd / k if k else None], pa.float64()
+                ),
+                "max_duration_us": pa.array(
+                    [int(md.max()) if len(md) else None], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        sessions.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_SESSION_STATS = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM x
+), s AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS ne,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+  FROM y GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(ne) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_events,
+       CAST(sum(dur) AS BIGINT) / CAST(count(*) AS BIGINT)
+         AS avg_duration_us,
+       CAST(max(dur) AS BIGINT) AS max_duration_us
+FROM s
+"""
+
+
+def q_daily_anomaly(sf_dir: str):
+    """Anomaly gate over an aggregated series: days whose event count
+    exceeds mean + 2σ (population) of the daily series. Day counts
+    fold map-side (np.unique — O(days) rows ever shuffle); the
+    mean/σ are exact integer moments (k, Σn, Σn²) folded in one tiny
+    aggregate, and the threshold float expression is written
+    identically on both sides (IEEE sqrt is correctly rounded, so the
+    comparison is bit-stable; variance clamps at 0 on both sides)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        day = _np.floor_divide(
+            pc.cast(t["ts"], pa.int64()).to_numpy(), _DAY_US
+        )
+        ud, cnt = _np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(ud, pa.int64()),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    daily = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    stats = daily.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array([t.num_rows], pa.int64()),
+                "s1": pa.array(
+                    [int(t["n"].to_numpy().sum())], pa.int64()
+                ),
+                "s2": pa.array(
+                    [int((t["n"].to_numpy() ** 2).sum())], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(
+        Sum("k", alias_name="k"),
+        Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"),
+    )
+    k = stats["k"] or 0
+    if not k:
+        return daily  # empty day series: no anomalies, schema (day, n)
+    s1, s2 = stats["s1"], stats["s2"]
+    mean = float(s1) / float(k)
+    var = max(
+        0.0, (float(s2) - float(s1) * float(s1) / float(k)) / float(k)
+    )
+    import math
+
+    thresh = mean + 2.0 * math.sqrt(var)
+
+    def gate(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        keep = t["n"].to_numpy().astype(_np.float64) > thresh
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return daily.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_DAILY_ANOMALY = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM d)
+SELECT CAST(day AS BIGINT) AS day, n
+FROM d, s
+WHERE CAST(n AS DOUBLE) >
+      CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+      + 2.0 * sqrt(greatest(0.0,
+          (CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+          / CAST(k AS DOUBLE)))
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -11178,6 +11532,10 @@ QUERIES = {
     "late_shipment_priority": q_late_shipment_priority,
     "vocab_profile": q_vocab_profile,
     "mode_source_per_lang": q_mode_source_per_lang,
+    "orders_mom_delta": q_orders_mom_delta,
+    "bulk_suppliers": q_bulk_suppliers,
+    "session_stats": q_session_stats,
+    "daily_anomaly": q_daily_anomaly,
     # --- round-4 late batch: newest, least-proven — keep in the
     # sampled prefix ---
     "large_orders": q_large_orders,
@@ -11353,6 +11711,10 @@ ORACLE_SQL = {
     "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
     "vocab_profile": SQL_VOCAB_PROFILE,
     "mode_source_per_lang": SQL_MODE_SOURCE_PER_LANG,
+    "orders_mom_delta": SQL_ORDERS_MOM_DELTA,
+    "bulk_suppliers": SQL_BULK_SUPPLIERS,
+    "session_stats": SQL_SESSION_STATS,
+    "daily_anomaly": SQL_DAILY_ANOMALY,
     "large_orders": SQL_LARGE_ORDERS,
     "idle_customers": SQL_IDLE_CUSTOMERS,
     "heavy_hitter_words": SQL_HEAVY_HITTER_WORDS,

@@ -357,6 +357,8 @@ EVENT_QUERIES = [
     "time_to_purchase",
     "all_type_users",
     "cohort_retention",
+    "session_stats",
+    "daily_anomaly",
 ]
 
 EMBEDDING_QUERIES = [
@@ -615,6 +617,8 @@ RELATIONAL_QUERIES = [
     "promo_revenue",
     "disjunctive_revenue",
     "late_shipment_priority",
+    "orders_mom_delta",
+    "bulk_suppliers",
 ]
 
 
