@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "bulk_suppliers",
     "session_stats",
     "daily_anomaly",
+    "top_revenue_supplier",
+    "grouping_sets_counts",
 ]
 HEADLINE = "extract_e2e"
 

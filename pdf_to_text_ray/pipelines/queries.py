@@ -11512,6 +11512,193 @@ WHERE CAST(n AS DOUBLE) >
           / CAST(k AS DOUBLE)))
 """
 
+# half-year ship window covering both the sf testdata (1995–2001) and
+# the fuzz warehouse (1997–1999) so the result is non-degenerate on both
+_TOP_SUPP_WINDOW_US = (852_076_800_000_000, 867_715_200_000_000)
+
+
+def q_top_revenue_supplier(sf_dir: str):
+    """Max-of-aggregate with ties (the TPC-H Q15 shape): the
+    supplier(s) with the highest discounted revenue inside a fixed
+    ship-date window. Per-supplier cents reduce map-side into bounded
+    supplier-hash partitions (|suppliers| rows, never |lineitem|);
+    the global max folds with ONE distributed Max aggregate (a
+    scalar — the supplier table never reaches the driver), the
+    tie-preserving filter is map-side equality, and names join via
+    the broadcast dimension."""
+    import numpy as np
+
+    lo, hi = _TOP_SUPP_WINDOW_US
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+        m = (ship >= lo) & (ship < hi)
+        sk = t["l_suppkey"].to_numpy()[m]
+        ep = t["l_extendedprice"].to_numpy()[m]
+        disc = t["l_discount"].to_numpy()[m]
+        cents = _np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(
+            _np.int64
+        )
+        keys, inv = _np.unique(sk, return_inverse=True)
+        sums = _np.zeros(len(keys), dtype=_np.int64)
+        _np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "c": pa.array(sums, pa.int64()),
+                "part": pa.array(
+                    (keys & (relational.NUM_EVENT_PARTITIONS - 1)).astype(
+                        _np.int32
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def merge_partition(df) -> pa.Table:
+        import numpy as _np
+
+        keys, inv = _np.unique(df["s_suppkey"].to_numpy(), return_inverse=True)
+        sums = _np.zeros(len(keys), dtype=_np.int64)
+        _np.add.at(sums, inv, df["c"].to_numpy())
+        return pa.table(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "total_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    totals = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_suppkey",
+                "l_shipdate",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+        .map_batches(cents_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
+        .materialize()
+    )
+    agg = totals.aggregate(Max("total_cents", alias_name="m"))
+    best = agg["m"] if agg else None
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    name_ref = ray.put(
+        dict(
+            zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist())
+        )
+    )
+
+    def winners(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+
+        if best is None:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
+        sub = t.filter(pc.equal(t["total_cents"], pa.scalar(best)))
+        names = cached_get(name_ref)
+        return pa.table(
+            {
+                "s_suppkey": sub["s_suppkey"],
+                "s_name": pa.array(
+                    [names.get(k) for k in sub["s_suppkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "total_cents": sub["total_cents"],
+            }
+        )
+
+    return totals.map_batches(winners, batch_format="pyarrow")
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM r)
+"""
+
+
+def q_grouping_sets_counts(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang), (source)): two independent
+    marginal count vectors from ONE map pass — each batch emits both
+    (dim, key, n) partials via np.unique, the groupby runs at
+    O(langs + sources), and the NULL filler column materializes only
+    in the final tiny projection (SQL grouping-sets layout)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        out_dim, out_key, out_n = [], [], []
+        for dim, col in ((0, "lang"), (1, "source")):
+            vals = _np.asarray(t[col].to_pylist(), dtype=object)
+            uk, cnt = _np.unique(vals, return_counts=True)
+            out_dim.extend([dim] * len(uk))
+            out_key.extend(list(uk))
+            out_n.extend(cnt.astype(_np.int64).tolist())
+        return pa.table(
+            {
+                "dim": pa.array(out_dim, pa.int32()),
+                "key": pa.array(out_key, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        dim = t["dim"].to_numpy()
+        key = t["key"].to_pylist()
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [k if d == 0 else None for d, k in zip(dim, key)],
+                    pa.string(),
+                ),
+                "source": pa.array(
+                    [k if d == 1 else None for d, k in zip(dim, key)],
+                    pa.string(),
+                ),
+                "n": t["n"],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dim", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(project, batch_format="pyarrow")
+        .select_columns(["lang", "source", "n"])
+    )
+
+
+SQL_GROUPING_SETS_COUNTS = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY GROUPING SETS ((lang), (source))
+"""
+
 
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
@@ -11536,6 +11723,8 @@ QUERIES = {
     "bulk_suppliers": q_bulk_suppliers,
     "session_stats": q_session_stats,
     "daily_anomaly": q_daily_anomaly,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "grouping_sets_counts": q_grouping_sets_counts,
     # --- round-4 late batch: newest, least-proven — keep in the
     # sampled prefix ---
     "large_orders": q_large_orders,
@@ -11715,6 +11904,8 @@ ORACLE_SQL = {
     "bulk_suppliers": SQL_BULK_SUPPLIERS,
     "session_stats": SQL_SESSION_STATS,
     "daily_anomaly": SQL_DAILY_ANOMALY,
+    "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
+    "grouping_sets_counts": SQL_GROUPING_SETS_COUNTS,
     "large_orders": SQL_LARGE_ORDERS,
     "idle_customers": SQL_IDLE_CUSTOMERS,
     "heavy_hitter_words": SQL_HEAVY_HITTER_WORDS,

@@ -174,6 +174,7 @@ DIFFERENTIAL_QUERIES = [
     "token_shard_export",
     "vocab_profile",
     "mode_source_per_lang",
+    "grouping_sets_counts",
 ]
 
 
@@ -619,6 +620,7 @@ RELATIONAL_QUERIES = [
     "late_shipment_priority",
     "orders_mom_delta",
     "bulk_suppliers",
+    "top_revenue_supplier",
 ]
 
 
