@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "cube_revenue",
     "order_priority_semi",
+    "market_share",
+    "nation_profit",
+    "returned_revenue",
+    "cust_order_dist",
+    "small_qty_revenue",
     "large_orders",
     "idle_customers",
     "events_ewma",

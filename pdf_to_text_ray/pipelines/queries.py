@@ -11700,6 +11700,915 @@ FROM documents GROUP BY GROUPING SETS ((lang), (source))
 """
 
 
+# ------------------------------------------------- fact-fact orderkey joins
+#
+# Q8/Q9/Q10 all join lineitem to orders — BOTH fact tables, so neither
+# side may broadcast at 100 TB. The shared shape: each side reduces
+# map-side to skinny int partials tagged with part = orderkey &
+# (NUM_EVENT_PARTITIONS - 1), the two Datasets union, and the join runs
+# inside bounded order-hash partitions (one order's rows co-locate by
+# construction; partition population is |orders|/64, not |lineitem|).
+# Dimension sides (customer/supplier/nation/region/part) broadcast once
+# via ray.put + per-worker LRU, exactly like promo_revenue.
+
+_ORD_PART_MASK = relational.NUM_EVENT_PARTITIONS - 1
+
+
+def _year_from_us(ts_int64_us):
+    """Exact o_orderdate year: int64 epoch-us -> calendar year, matching
+    DuckDB year() (BIGINT) without float round-trips."""
+    import numpy as _np
+
+    return (
+        ts_int64_us.astype("datetime64[us]")
+        .astype("datetime64[Y]")
+        .astype(_np.int64)
+        + 1970
+    )
+
+
+def q_market_share(sf_dir: str):
+    """National market share per order-year (the TPC-H Q8 shape):
+    among lineitems belonging to orders placed by ASIA customers, the
+    revenue fraction supplied by the lexicographically-first nation's
+    suppliers. customer/nation/
+    region fold into ONE sorted in-region custkey array and supplier/
+    nation into a suppkey->is_target vector (dimensions — broadcast
+    once, ray.put + LRU). Orders emit skinny (orderkey, year) rows for
+    in-region customers; lineitem folds per-orderkey (total, target)
+    cent partials map-side; the only exchange is the bounded
+    order-hash partition join, whose population is order-cardinality.
+    The share is the raw BIGINT/BIGINT IEEE division (bit-identical to
+    DuckDB)."""
+    import numpy as np
+
+    region_t = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = {
+        n: k
+        for k, n in zip(
+            region_t["r_regionkey"].to_pylist(), region_t["r_name"].to_pylist()
+        )
+    }
+    target_rk = rkeys.get("ASIA", -1)
+    nation_t = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nat_region = dict(
+        zip(
+            nation_t["n_nationkey"].to_pylist(),
+            nation_t["n_regionkey"].to_pylist(),
+        )
+    )
+    # target nation = lexicographic min of n_name: a deterministic,
+    # data-derived constant that is non-vacuous on ANY warehouse (the
+    # differential-fuzz names differ from the sf testdata's)
+    all_names = nation_t["n_name"].to_pylist()
+    target_nation = min(all_names) if all_names else ""
+    target_nations = {
+        k
+        for k, n in zip(nation_t["n_nationkey"].to_pylist(), all_names)
+        if n == target_nation
+    }
+    cust_t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = np.asarray(cust_t["c_custkey"].to_pylist(), dtype=np.int64)
+    c_in = np.asarray(
+        [nat_region.get(nk, -1) == target_rk
+         for nk in cust_t["c_nationkey"].to_pylist()],
+        dtype=bool,
+    )
+    in_region_ck = np.sort(ck[c_in])
+    supp_t = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = np.asarray(supp_t["s_suppkey"].to_pylist(), dtype=np.int64)
+    s_is = np.asarray(
+        [nk in target_nations for nk in supp_t["s_nationkey"].to_pylist()],
+        dtype=np.int64,
+    )
+    s_order = np.argsort(sk, kind="stable")
+    lookup_ref = ray.put((in_region_ck, sk[s_order], s_is[s_order]))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        ck_s, _, _ = cached_get(lookup_ref)
+        ok = t["o_orderkey"].to_numpy()
+        cust = t["o_custkey"].to_numpy()
+        pos = _np.searchsorted(ck_s, cust)
+        pos = _np.minimum(pos, max(len(ck_s) - 1, 0))
+        keep = (
+            (ck_s[pos] == cust) if len(ck_s) else _np.zeros(len(cust), bool)
+        )
+        year = _year_from_us(pc.cast(t["o_orderdate"], pa.int64()).to_numpy())
+        ok, year = ok[keep], year[keep]
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ok & _ORD_PART_MASK).astype(_np.int32), pa.int32()
+                ),
+                "okey": pa.array(ok, pa.int64()),
+                "o_year": pa.array(year, pa.int64()),
+                "tot": pa.array(_np.zeros(len(ok), _np.int64), pa.int64()),
+                "nat": pa.array(_np.zeros(len(ok), _np.int64), pa.int64()),
+            }
+        )
+
+    def line_side(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        _, sk_s, s_is_s = cached_get(lookup_ref)
+        ok = t["l_orderkey"].to_numpy()
+        supp = t["l_suppkey"].to_numpy()
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        cents = _np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(_np.int64)
+        if len(sk_s):
+            pos = _np.minimum(_np.searchsorted(sk_s, supp), len(sk_s) - 1)
+            is_t = _np.where(sk_s[pos] == supp, s_is_s[pos], 0)
+        else:
+            is_t = _np.zeros(len(supp), _np.int64)
+        uo, inv = _np.unique(ok, return_inverse=True)
+        tot = _np.zeros(len(uo), _np.int64)
+        nat = _np.zeros(len(uo), _np.int64)
+        _np.add.at(tot, inv, cents)
+        _np.add.at(nat, inv, cents * is_t)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (uo & _ORD_PART_MASK).astype(_np.int32), pa.int32()
+                ),
+                "okey": pa.array(uo, pa.int64()),
+                "o_year": pa.array(
+                    _np.full(len(uo), -1, _np.int64), pa.int64()
+                ),
+                "tot": pa.array(tot, pa.int64()),
+                "nat": pa.array(nat, pa.int64()),
+            }
+        )
+
+    def join_partition(df) -> pa.Table:
+        import numpy as _np
+
+        okey = df["okey"].to_numpy()
+        year = df["o_year"].to_numpy()
+        is_ord = year >= 0
+        o_keys = okey[is_ord]
+        o_years = year[is_ord]
+        o_sorted = _np.argsort(o_keys, kind="stable")
+        o_keys, o_years = o_keys[o_sorted], o_years[o_sorted]
+        l_keys = okey[~is_ord]
+        tot = df["tot"].to_numpy()[~is_ord]
+        nat = df["nat"].to_numpy()[~is_ord]
+        if len(o_keys) == 0 or len(l_keys) == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "nation_cents": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
+        pos = _np.minimum(_np.searchsorted(o_keys, l_keys), len(o_keys) - 1)
+        found = o_keys[pos] == l_keys
+        yr = o_years[pos[found]]
+        uy, inv = _np.unique(yr, return_inverse=True)
+        tc = _np.zeros(len(uy), _np.int64)
+        nc = _np.zeros(len(uy), _np.int64)
+        _np.add.at(tc, inv, tot[found])
+        _np.add.at(nc, inv, nat[found])
+        return pa.table(
+            {
+                "o_year": pa.array(uy, pa.int64()),
+                "nation_cents": pa.array(nc, pa.int64()),
+                "total_cents": pa.array(tc, pa.int64()),
+            }
+        )
+
+    def add_share(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        n = t["nation_cents"].to_numpy()
+        tot = t["total_cents"].to_numpy()
+        safe = _np.where(tot == 0, 1, tot)
+        return t.append_column(
+            "mkt_share", pa.array(n / safe, pa.float64(), mask=(tot == 0))
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+    return _with_schema(
+        orders.union(lines)
+        .groupby("part")
+        .map_groups(join_partition, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_cents", alias_name="nation_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .map_batches(add_share, batch_format="pyarrow"),
+        o_year=pa.int64(),
+        nation_cents=pa.int64(),
+        total_cents=pa.int64(),
+        mkt_share=pa.float64(),
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH rc AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+o AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders JOIN rc ON o_custkey = c_custkey),
+l AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         CASE WHEN n_name = (SELECT min(n_name) FROM nation)
+              THEN 1 ELSE 0 END AS is_nat
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey)
+SELECT o_year,
+       CAST(sum(cents * is_nat) AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents * is_nat) AS BIGINT)
+         / CAST(sum(cents) AS BIGINT) AS mkt_share
+FROM l JOIN o ON l_orderkey = o_orderkey
+GROUP BY o_year
+"""
+
+
+_NAT_BITS = 6  # nationkey < 64 packs into the low bits of (orderkey, nation)
+
+
+def q_nation_profit(sf_dir: str):
+    """Profit by supplier nation x order year over the '%widget%'
+    part-name subset (the TPC-H Q9 shape, minus partsupp which this
+    schema lacks).
+    part filters to a sorted partkey membership array and supplier to
+    a suppkey->nationkey vector (broadcast dimensions); lineitem folds
+    per (orderkey, nationkey) packed-int64 cents partials map-side
+    (guarded pack, nationkey < 64); orders contribute skinny
+    (orderkey, year) rows; the bounded order-hash partition join
+    attaches years and folds straight to (nation, year) — so the final
+    groupby runs at |nations x years|, never fact cardinality."""
+    import numpy as np
+
+    part_t = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    pk = np.asarray(part_t["p_partkey"].to_pylist(), dtype=np.int64)
+    hit = np.asarray(
+        ["widget" in n for n in part_t["p_name"].to_pylist()], dtype=bool
+    )
+    red_parts = np.sort(pk[hit])
+    supp_t = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = np.asarray(supp_t["s_suppkey"].to_pylist(), dtype=np.int64)
+    snat = np.asarray(supp_t["s_nationkey"].to_pylist(), dtype=np.int64)
+    s_order = np.argsort(sk, kind="stable")
+    nation_t = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_names = dict(
+        zip(
+            nation_t["n_nationkey"].to_pylist(),
+            nation_t["n_name"].to_pylist(),
+        )
+    )
+    lookup_ref = ray.put((red_parts, sk[s_order], snat[s_order]))
+    names_ref = ray.put(nat_names)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ok = t["o_orderkey"].to_numpy()
+        year = _year_from_us(pc.cast(t["o_orderdate"], pa.int64()).to_numpy())
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ok & _ORD_PART_MASK).astype(_np.int32), pa.int32()
+                ),
+                "okey": pa.array(ok, pa.int64()),
+                "nat": pa.array(_np.full(len(ok), -1, _np.int64), pa.int64()),
+                "cents": pa.array(_np.zeros(len(ok), _np.int64), pa.int64()),
+                "o_year": pa.array(year, pa.int64()),
+            }
+        )
+
+    def line_side(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        red_s, sk_s, snat_s = cached_get(lookup_ref)
+        lp = t["l_partkey"].to_numpy()
+        if len(red_s):
+            pos = _np.minimum(_np.searchsorted(red_s, lp), len(red_s) - 1)
+            keep = red_s[pos] == lp
+        else:
+            keep = _np.zeros(len(lp), bool)
+        ok = t["l_orderkey"].to_numpy()[keep]
+        supp = t["l_suppkey"].to_numpy()[keep]
+        ep = t["l_extendedprice"].to_numpy()[keep]
+        disc = t["l_discount"].to_numpy()[keep]
+        cents = _np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(_np.int64)
+        if len(sk_s):
+            spos = _np.minimum(_np.searchsorted(sk_s, supp), len(sk_s) - 1)
+            nat = _np.where(sk_s[spos] == supp, snat_s[spos], 0).astype(
+                _np.int64
+            )
+        else:
+            nat = _np.zeros(len(supp), _np.int64)
+        _guard_pack(ok, nat, _NAT_BITS, "nation_profit (order,nation)")
+        key, inv = _np.unique(ok * (1 << _NAT_BITS) + nat, return_inverse=True)
+        c = _np.zeros(len(key), _np.int64)
+        _np.add.at(c, inv, cents)
+        uo = key >> _NAT_BITS
+        return pa.table(
+            {
+                "part": pa.array(
+                    (uo & _ORD_PART_MASK).astype(_np.int32), pa.int32()
+                ),
+                "okey": pa.array(uo, pa.int64()),
+                "nat": pa.array(key & ((1 << _NAT_BITS) - 1), pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "o_year": pa.array(
+                    _np.full(len(key), -1, _np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def join_partition(df) -> pa.Table:
+        import numpy as _np
+
+        okey = df["okey"].to_numpy()
+        year = df["o_year"].to_numpy()
+        is_ord = year >= 0
+        o_keys = okey[is_ord]
+        o_years = year[is_ord]
+        srt = _np.argsort(o_keys, kind="stable")
+        o_keys, o_years = o_keys[srt], o_years[srt]
+        l_keys = okey[~is_ord]
+        nat = df["nat"].to_numpy()[~is_ord]
+        cents = df["cents"].to_numpy()[~is_ord]
+        if len(o_keys) == 0 or len(l_keys) == 0:
+            return pa.table(
+                {
+                    "nat": pa.array([], pa.int64()),
+                    "o_year": pa.array([], pa.int64()),
+                    "profit_cents": pa.array([], pa.int64()),
+                }
+            )
+        pos = _np.minimum(_np.searchsorted(o_keys, l_keys), len(o_keys) - 1)
+        found = o_keys[pos] == l_keys
+        yr = o_years[pos[found]]
+        natf = nat[found]
+        key, inv = _np.unique(
+            natf * 8192 + (yr - 1970), return_inverse=True
+        )
+        c = _np.zeros(len(key), _np.int64)
+        _np.add.at(c, inv, cents[found])
+        return pa.table(
+            {
+                "nat": pa.array(key // 8192, pa.int64()),
+                "o_year": pa.array(key % 8192 + 1970, pa.int64()),
+                "profit_cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    def add_name(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+
+        names = cached_get(names_ref)
+        return pa.table(
+            {
+                "nation": pa.array(
+                    [names.get(k, "") for k in t["nat"].to_pylist()],
+                    pa.string(),
+                ),
+                "o_year": t["o_year"],
+                "profit_cents": t["profit_cents"],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(line_side, batch_format="pyarrow")
+    return _with_schema(
+        orders.union(lines)
+        .groupby("part")
+        .map_groups(join_partition, batch_format="pandas")
+        .groupby(["nat", "o_year"])
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+        .map_batches(add_name, batch_format="pyarrow"),
+        nation=pa.string(),
+        o_year=pa.int64(),
+        profit_cents=pa.int64(),
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_returned_revenue(sf_dir: str):
+    """Top-20 customers by returned-merchandise revenue in a one-
+    quarter order window (the TPC-H Q10 shape). Orders emit skinny
+    (orderkey, custkey) rows for the window; lineitem folds per-
+    orderkey cents of R-flagged lines map-side; the bounded order-hash
+    partition join re-keys cents to custkey and pre-folds per
+    partition, so the custkey groupby carries customer-cardinality
+    skinny rows. The top-20 is a per-block partial merged in ONE final
+    fold (no global sort); ties break custkey-ascending on both
+    sides. Names attach from broadcast dimension dicts at the end."""
+    import numpy as np
+
+    _WIN_LO = np.datetime64("1997-02-01").astype("datetime64[us]").astype(
+        np.int64
+    )
+    _WIN_HI = np.datetime64("1997-05-01").astype("datetime64[us]").astype(
+        np.int64
+    )
+
+    cust_t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation_t = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_names = dict(
+        zip(
+            nation_t["n_nationkey"].to_pylist(),
+            nation_t["n_name"].to_pylist(),
+        )
+    )
+    cust_info = {
+        k: (nm, nat_names.get(nk, ""))
+        for k, nm, nk in zip(
+            cust_t["c_custkey"].to_pylist(),
+            cust_t["c_name"].to_pylist(),
+            cust_t["c_nationkey"].to_pylist(),
+        )
+    }
+    info_ref = ray.put(cust_info)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ts = pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+        keep = (ts >= _WIN_LO) & (ts < _WIN_HI)
+        ok = t["o_orderkey"].to_numpy()[keep]
+        cust = t["o_custkey"].to_numpy()[keep]
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ok & _ORD_PART_MASK).astype(_np.int32), pa.int32()
+                ),
+                "okey": pa.array(ok, pa.int64()),
+                "cust": pa.array(cust, pa.int64()),
+                "cents": pa.array(_np.zeros(len(ok), _np.int64), pa.int64()),
+            }
+        )
+
+    def line_side(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        keep = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy()[keep]
+        ep = t["l_extendedprice"].to_numpy()[keep]
+        disc = t["l_discount"].to_numpy()[keep]
+        cents = _np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(_np.int64)
+        uo, inv = _np.unique(ok, return_inverse=True)
+        c = _np.zeros(len(uo), _np.int64)
+        _np.add.at(c, inv, cents)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (uo & _ORD_PART_MASK).astype(_np.int32), pa.int32()
+                ),
+                "okey": pa.array(uo, pa.int64()),
+                "cust": pa.array(_np.full(len(uo), -1, _np.int64), pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    def join_partition(df) -> pa.Table:
+        import numpy as _np
+
+        okey = df["okey"].to_numpy()
+        cust = df["cust"].to_numpy()
+        cents = df["cents"].to_numpy()
+        is_ord = cust >= 0
+        o_keys, o_cust = okey[is_ord], cust[is_ord]
+        srt = _np.argsort(o_keys, kind="stable")
+        o_keys, o_cust = o_keys[srt], o_cust[srt]
+        l_keys, l_cents = okey[~is_ord], cents[~is_ord]
+        if len(o_keys) == 0 or len(l_keys) == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        pos = _np.minimum(_np.searchsorted(o_keys, l_keys), len(o_keys) - 1)
+        found = o_keys[pos] == l_keys
+        cks = o_cust[pos[found]]
+        uc, inv = _np.unique(cks, return_inverse=True)
+        c = _np.zeros(len(uc), _np.int64)
+        _np.add.at(c, inv, l_cents[found])
+        return pa.table(
+            {
+                "c_custkey": pa.array(uc, pa.int64()),
+                "revenue_cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ck = t["c_custkey"].to_numpy()
+        rv = t["revenue_cents"].to_numpy()
+        idx = _np.lexsort((ck, -rv))[:20]
+        return pa.table(
+            {
+                "g": pa.array(_np.zeros(len(idx), _np.int32), pa.int32()),
+                "c_custkey": pa.array(ck[idx], pa.int64()),
+                "revenue_cents": pa.array(rv[idx], pa.int64()),
+            }
+        )
+
+    def topk_final(df) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        info = cached_get(info_ref)
+        ck = df["c_custkey"].to_numpy()
+        rv = df["revenue_cents"].to_numpy()
+        idx = _np.lexsort((ck, -rv))[:20]
+        ck, rv = ck[idx], rv[idx]
+        names = [info.get(int(k), ("", ""))[0] for k in ck]
+        nats = [info.get(int(k), ("", ""))[1] for k in ck]
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "c_name": pa.array(names, pa.string()),
+                "nation": pa.array(nats, pa.string()),
+                "revenue_cents": pa.array(rv, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(line_side, batch_format="pyarrow")
+    return _with_schema(
+        orders.union(lines)
+        .groupby("part")
+        .map_groups(join_partition, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .map_batches(topk_partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(topk_final, batch_format="pandas"),
+        c_custkey=pa.int64(),
+        c_name=pa.string(),
+        nation=pa.string(),
+        revenue_cents=pa.int64(),
+    )
+
+
+SQL_RETURNED_REVENUE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-02-01'
+    AND o_orderdate < TIMESTAMP '1997-05-01'),
+l AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM l
+JOIN o ON l.l_orderkey = o.o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_cust_order_dist(sf_dir: str):
+    """Customer order-count distribution (the TPC-H Q13 shape: LEFT
+    JOIN with an ON-clause filter, then count-of-counts — customers
+    with only urgent orders land in the 0 bucket). Orders fold to
+    per-custkey counts map-side (membership-checked against the
+    broadcast customer key array, preserving the left join's
+    customer-side domain), merge inside bounded custkey-hash
+    partitions, and each partition emits its LOCAL count histogram —
+    so the final groupby carries O(distinct counts) rows. The zero
+    bucket is total customers (parquet metadata, a dimension) minus
+    the represented custkeys, folded in the single-histogram-row
+    finalize."""
+    import numpy as np
+
+    cust_meta = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    ck_all = np.sort(
+        np.asarray(cust_meta["c_custkey"].to_pylist(), dtype=np.int64)
+    )
+    n_customers = len(ck_all)
+    ck_ref = ray.put(ck_all)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        ck_s = cached_get(ck_ref)
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cust = t["o_custkey"].to_numpy()
+        keep = pri != "1-URGENT"
+        cust = cust[keep]
+        if len(ck_s):
+            pos = _np.minimum(_np.searchsorted(ck_s, cust), len(ck_s) - 1)
+            cust = cust[ck_s[pos] == cust]
+        else:
+            cust = cust[:0]
+        uc, cnt = _np.unique(cust, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (uc & _ORD_PART_MASK).astype(_np.int32), pa.int32()
+                ),
+                "cust": pa.array(uc, pa.int64()),
+                "n": pa.array(cnt.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    def hist_partition(df) -> pa.Table:
+        import numpy as _np
+
+        cust = df["cust"].to_numpy()
+        n = df["n"].to_numpy()
+        uc, inv = _np.unique(cust, return_inverse=True)
+        tot = _np.zeros(len(uc), _np.int64)
+        _np.add.at(tot, inv, n)
+        counts, freq = _np.unique(tot, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(_np.zeros(len(counts), _np.int32), pa.int32()),
+                "c_count": pa.array(counts, pa.int64()),
+                "custdist": pa.array(freq.astype(_np.int64), pa.int64()),
+                "n_cust": pa.array(
+                    _np.full(len(counts), len(uc), _np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finalize(df) -> pa.Table:
+        import numpy as _np
+
+        cc = df["c_count"].to_numpy()
+        cd = df["custdist"].to_numpy()
+        # n_cust repeats per partition's rows; sum of one value per
+        # distinct (partition) requires dedup — instead recount: the
+        # represented-customer total is the sum of custdist itself.
+        represented = int(cd.sum())
+        zero = n_customers - represented
+        key, inv = _np.unique(cc, return_inverse=True)
+        tot = _np.zeros(len(key), _np.int64)
+        _np.add.at(tot, inv, cd)
+        if zero > 0:
+            if 0 in key:
+                tot[_np.searchsorted(key, 0)] += zero
+            else:
+                key = _np.r_[0, key]
+                tot = _np.r_[zero, tot]
+        return pa.table(
+            {
+                "c_count": pa.array(key, pa.int64()),
+                "custdist": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hist_partition, batch_format="pandas")
+        .groupby("g")
+        .map_groups(finalize, batch_format="pandas")
+        .select_columns(["c_count", "custdist"]),
+        c_count=pa.int64(),
+        custdist=pa.int64(),
+    )
+
+
+SQL_CUST_ORDER_DIST = """
+WITH co AS (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+"""
+
+
+_QTY_BITS = 6  # l_quantity is integral 1..50; guarded below
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """Correlated per-part average threshold (the TPC-H Q17 shape):
+    yearly-averaged revenue of brand lineitems whose quantity is under
+    0.2x that part's mean quantity. Because l_quantity is integral,
+    per-(partkey, quantity) packed partials carry the ENTIRE
+    distribution losslessly (sum/count per qty level), so one pass
+    over lineitem + a bounded partkey-hash partition reduce computes
+    both the per-part mean and the under-threshold revenue with no
+    join-back second pass. The threshold compare reproduces DuckDB's
+    float semantics exactly: integral sums are exact in float64, so
+    0.2 * (sum/count) is bit-identical on both sides."""
+    import numpy as np
+
+    part_t = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    pk = np.asarray(part_t["p_partkey"].to_pylist(), dtype=np.int64)
+    hit = np.asarray(
+        [b == "Brand#1" for b in part_t["p_brand"].to_pylist()], dtype=bool
+    )
+    brand_parts = np.sort(pk[hit])
+    parts_ref = ray.put(brand_parts)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        bp = cached_get(parts_ref)
+        lp = t["l_partkey"].to_numpy()
+        if len(bp):
+            pos = _np.minimum(_np.searchsorted(bp, lp), len(bp) - 1)
+            keep = bp[pos] == lp
+        else:
+            keep = _np.zeros(len(lp), bool)
+        lp = lp[keep]
+        qty_f = t["l_quantity"].to_numpy()[keep]
+        qty = qty_f.astype(_np.int64)
+        if not (qty == qty_f).all():
+            raise ValueError(
+                "small_qty_revenue: non-integral l_quantity breaks the "
+                "lossless per-(part,qty) distribution fold"
+            )
+        ep = t["l_extendedprice"].to_numpy()[keep]
+        cents = _np.floor(ep * 100.0 + 0.5).astype(_np.int64)
+        _guard_pack(lp, qty, _QTY_BITS, "small_qty_revenue (part,qty)")
+        key, inv = _np.unique(lp * (1 << _QTY_BITS) + qty, return_inverse=True)
+        c = _np.zeros(len(key), _np.int64)
+        n = _np.zeros(len(key), _np.int64)
+        _np.add.at(c, inv, cents)
+        _np.add.at(n, inv, 1)
+        return pa.table(
+            {
+                "part": pa.array(
+                    ((key >> _QTY_BITS) & _ORD_PART_MASK).astype(_np.int32),
+                    pa.int32(),
+                ),
+                "key": pa.array(key, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    def threshold_partition(df) -> pa.Table:
+        import numpy as _np
+
+        key = df["key"].to_numpy()
+        cents = df["cents"].to_numpy()
+        n = df["n"].to_numpy()
+        uk, inv = _np.unique(key, return_inverse=True)
+        c = _np.zeros(len(uk), _np.int64)
+        m = _np.zeros(len(uk), _np.int64)
+        _np.add.at(c, inv, cents)
+        _np.add.at(m, inv, n)
+        parts = uk >> _QTY_BITS
+        qty = (uk & ((1 << _QTY_BITS) - 1)).astype(_np.float64)
+        up, pinv = _np.unique(parts, return_inverse=True)
+        sum_q = _np.zeros(len(up), _np.float64)
+        cnt_q = _np.zeros(len(up), _np.float64)
+        _np.add.at(sum_q, pinv, qty * m)
+        _np.add.at(cnt_q, pinv, m.astype(_np.float64))
+        thr = 0.2 * (sum_q / cnt_q)
+        under = qty < thr[pinv]
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int32()),
+                "cents": pa.array([int(c[under].sum())], pa.int64()),
+                "n": pa.array([int(m[under].sum())], pa.int64()),
+            }
+        )
+
+    def finalize(df) -> pa.Table:
+        import numpy as _np
+
+        n = int(df["n"].sum())
+        c = int(df["cents"].sum())
+        avg = _np.float64(c) / 700.0 if n else None
+        return pa.table(
+            {
+                "avg_yearly": pa.array([avg], pa.float64()),
+                "n_lines": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(threshold_partition, batch_format="pandas")
+        .groupby("g")
+        .map_groups(finalize, batch_format="pandas")
+        .select_columns(["avg_yearly", "n_lines"])
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH l AS (
+  SELECT l_partkey, l_quantity,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'),
+a AS (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS thr
+  FROM l GROUP BY l_partkey)
+SELECT CAST(sum(cents) AS DOUBLE) / 700.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM l JOIN a ON l_partkey = pk
+WHERE l_quantity < thr
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -11713,6 +12622,13 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "size_class_counts": q_size_class_counts,
     "media_features": q_media_features,
+    # --- round-5 batch 3 (newest, least proven — sampled prefix):
+    # fact-fact orderkey joins + correlated threshold + count-of-counts ---
+    "market_share": q_market_share,
+    "nation_profit": q_nation_profit,
+    "returned_revenue": q_returned_revenue,
+    "cust_order_dist": q_cust_order_dist,
+    "small_qty_revenue": q_small_qty_revenue,
     # --- round-5 batch 2 (newest, least proven — sampled prefix) ---
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -11895,6 +12811,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "market_share": SQL_MARKET_SHARE,
+    "nation_profit": SQL_NATION_PROFIT,
+    "returned_revenue": SQL_RETURNED_REVENUE,
+    "cust_order_dist": SQL_CUST_ORDER_DIST,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "promo_revenue": SQL_PROMO_REVENUE,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,

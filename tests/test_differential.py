@@ -621,6 +621,11 @@ RELATIONAL_QUERIES = [
     "orders_mom_delta",
     "bulk_suppliers",
     "top_revenue_supplier",
+    "market_share",
+    "nation_profit",
+    "returned_revenue",
+    "cust_order_dist",
+    "small_qty_revenue",
 ]
 
 
