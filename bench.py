@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "returned_revenue",
     "cust_order_dist",
     "small_qty_revenue",
+    "lang_entropy",
     "large_orders",
     "idle_customers",
     "events_ewma",

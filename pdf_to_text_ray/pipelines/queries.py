@@ -11100,6 +11100,116 @@ FROM w GROUP BY lang
 """
 
 
+def q_lang_entropy(sf_dir: str):
+    """Shannon entropy (bits/token) of each language's word
+    distribution. Exact to the last integer: (lang, word) counts
+    reduce in bounded crc32(word) hash partitions (a word lives
+    wholly in one partition), each partition emits its LOCAL
+    count-of-counts histogram (lang, c, m), and those integer
+    histograms ADD — so the only float work is the final fold over
+    O(distinct counts) rows per lang, computed as
+    log2(N) - sum(m*c*log2 c)/N with the sum taken in ascending-c
+    order and 6-dp canonicalized (the repo's DuckDB round contract).
+    The vocabulary never meets a global sort, and the multi-column
+    groupby runs at O(langs x distinct counts) — the packed-key
+    rule's safe case."""
+    import zlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            c.update((lang, w) for w in text.lower().split(" ") if w)
+        langs = [k[0] for k in c]
+        words = [k[1] for k in c]
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(w.encode("utf-8")) & 63 for w in words],
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def hist_partition(df) -> pa.Table:
+        g = df.groupby(["lang", "word"], sort=False, as_index=False)[
+            "n"
+        ].sum()
+        h = (
+            g.groupby(["lang", "n"], sort=False)
+            .size()
+            .reset_index(name="m")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(h["lang"], pa.string()),
+                "c": pa.array(h["n"], pa.int64()),
+                "m": pa.array(h["m"], pa.int64()),
+            }
+        )
+
+    def entropy_final(df) -> pa.Table:
+        import numpy as _np
+
+        lang = df["lang"].iloc[0]
+        c = df["c"].to_numpy()
+        m = df["m"].to_numpy()
+        order = _np.argsort(c, kind="stable")
+        c, m = c[order], m[order]
+        n_tokens = int((c * m).sum())
+        s2 = float((m * c * _np.log2(c.astype(_np.float64))).sum())
+        ent = _round6(_np.log2(_np.float64(n_tokens)) - s2 / n_tokens)
+        return pa.table(
+            {
+                "lang": pa.array([lang], pa.string()),
+                "n_tokens": pa.array([n_tokens], pa.int64()),
+                "entropy": pa.array([ent], pa.float64()),
+            }
+        )
+
+    return _with_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hist_partition, batch_format="pandas")
+        .groupby(["lang", "c"])
+        .aggregate(Sum("m", alias_name="m"))
+        .groupby("lang")
+        .map_groups(entropy_final, batch_format="pandas"),
+        lang=pa.string(),
+        n_tokens=pa.int64(),
+        entropy=pa.float64(),
+    )
+
+
+SQL_LANG_ENTROPY = """
+WITH w AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY lang, word),
+h AS (
+  SELECT lang, c, CAST(count(*) AS BIGINT) AS m
+  FROM w GROUP BY lang, c),
+s AS (
+  SELECT lang, CAST(sum(c * m) AS BIGINT) AS n_tokens,
+         sum(CAST(m AS DOUBLE) * c * log2(CAST(c AS DOUBLE))) AS s2
+  FROM h GROUP BY lang)
+SELECT lang, n_tokens,
+       round(log2(CAST(n_tokens AS DOUBLE))
+             - s2 / CAST(n_tokens AS DOUBLE), 6) AS entropy
+FROM s
+"""
+
+
 def q_mode_source_per_lang(sf_dir: str):
     """Categorical mode per group: the most frequent source per
     language (ties → lexicographically smallest source). Per-batch
@@ -12629,6 +12739,7 @@ QUERIES = {
     "returned_revenue": q_returned_revenue,
     "cust_order_dist": q_cust_order_dist,
     "small_qty_revenue": q_small_qty_revenue,
+    "lang_entropy": q_lang_entropy,
     # --- round-5 batch 2 (newest, least proven — sampled prefix) ---
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -12816,6 +12927,7 @@ ORACLE_SQL = {
     "returned_revenue": SQL_RETURNED_REVENUE,
     "cust_order_dist": SQL_CUST_ORDER_DIST,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "lang_entropy": SQL_LANG_ENTROPY,
     "promo_revenue": SQL_PROMO_REVENUE,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,

@@ -175,6 +175,7 @@ DIFFERENTIAL_QUERIES = [
     "vocab_profile",
     "mode_source_per_lang",
     "grouping_sets_counts",
+    "lang_entropy",
 ]
 
 
