@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "cust_order_dist",
     "small_qty_revenue",
     "lang_entropy",
+    "supplier_part_counts",
     "large_orders",
     "idle_customers",
     "events_ewma",

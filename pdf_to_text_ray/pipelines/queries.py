@@ -12719,6 +12719,146 @@ WHERE l_quantity < thr
 """
 
 
+_GID_BITS = 11  # (brand, size) combo id — dimension-bounded, guarded
+
+
+def q_supplier_part_counts(sf_dir: str):
+    """Grouped COUNT(DISTINCT supplier) with anti-filters (the TPC-H
+    Q16 shape, lineitem's (partkey, suppkey) pairs standing in for
+    partsupp): distinct suppliers per (brand, size), excluding one
+    brand and low-balance suppliers. Distinct-supplier counts are NOT
+    additive across part partitions (one supplier serves many parts
+    of a group), so the partition key is the SUPPLIER: partkey maps
+    to a dimension-bounded (brand,size) group id map-side, (suppkey,
+    gid) packs into a guarded int64, and inside bounded supplier-hash
+    partitions each distinct key is exactly one (supplier, group)
+    incidence — local folds are exact and ADD. The final multi-column
+    groupby runs at O(brands x sizes), the packed-key rule's safe
+    case. Both anti-filters are broadcast sorted-array lookups;
+    lineitem never shuffles raw."""
+    import numpy as np
+
+    part_t = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = np.asarray(part_t["p_partkey"].to_pylist(), dtype=np.int64)
+    brands = part_t["p_brand"].to_pylist()
+    sizes = np.asarray(part_t["p_size"].to_pylist(), dtype=np.int64)
+    keep = np.asarray([b != "Brand#3" for b in brands], dtype=bool)
+    order = np.argsort(pk[keep], kind="stable")
+    kept_pk = pk[keep][order]
+    kept_brand = [brands[i] for i in np.nonzero(keep)[0][order]]
+    kept_size = sizes[keep][order]
+    combos = sorted({(b, int(s)) for b, s in zip(kept_brand, kept_size)})
+    if len(combos) >= (1 << _GID_BITS):
+        raise ValueError(
+            "supplier_part_counts: (brand,size) combos overflow the "
+            f"{_GID_BITS}-bit group-id pack"
+        )
+    gid_of = {c: i for i, c in enumerate(combos)}
+    part_gid = np.asarray(
+        [gid_of[(b, int(s))] for b, s in zip(kept_brand, kept_size)],
+        dtype=np.int64,
+    )
+    supp_t = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    sk = np.asarray(supp_t["s_suppkey"].to_pylist(), dtype=np.int64)
+    bal = np.asarray(supp_t["s_acctbal"].to_pylist(), dtype=np.float64)
+    excl = np.sort(sk[bal < 1000.0])
+    lookup_ref = ray.put((kept_pk, part_gid, excl, combos))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from ..functions.broadcast import cached_get
+
+        kp, gid, ex, _ = cached_get(lookup_ref)
+        lp = t["l_partkey"].to_numpy()
+        ls = t["l_suppkey"].to_numpy()
+        if len(kp):
+            pos = _np.minimum(_np.searchsorted(kp, lp), len(kp) - 1)
+            m = kp[pos] == lp
+        else:
+            pos = _np.zeros(len(lp), _np.int64)
+            m = _np.zeros(len(lp), bool)
+        if len(ex):
+            epos = _np.minimum(_np.searchsorted(ex, ls), len(ex) - 1)
+            m &= ex[epos] != ls
+        ls = ls[m]
+        g = gid[pos[m]] if len(kp) else _np.zeros(0, _np.int64)
+        _guard_pack(ls, g, _GID_BITS, "supplier_part_counts (supp,gid)")
+        key = _np.unique(ls * (1 << _GID_BITS) + g)
+        return pa.table(
+            {
+                "part": pa.array(
+                    ((key >> _GID_BITS) & _ORD_PART_MASK).astype(_np.int32),
+                    pa.int32(),
+                ),
+                "key": pa.array(key, pa.int64()),
+            }
+        )
+
+    def count_partition(df) -> pa.Table:
+        import numpy as _np
+
+        key = _np.unique(df["key"].to_numpy())
+        g = key & ((1 << _GID_BITS) - 1)
+        ug, cnt = _np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "gid": pa.array(ug, pa.int64()),
+                "supplier_cnt": pa.array(cnt.astype(_np.int64), pa.int64()),
+            }
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+
+        _, _, _, combos_s = cached_get(lookup_ref)
+        gids = t["gid"].to_pylist()
+        return pa.table(
+            {
+                "p_brand": pa.array(
+                    [combos_s[g][0] for g in gids], pa.string()
+                ),
+                "p_size": pa.array(
+                    [combos_s[g][1] for g in gids], pa.int64()
+                ),
+                "supplier_cnt": t["supplier_cnt"],
+            }
+        )
+
+    return _with_schema(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_partition, batch_format="pandas")
+        .groupby("gid")
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .map_batches(project, batch_format="pyarrow")
+        .select_columns(["p_brand", "p_size", "supplier_cnt"]),
+        p_brand=pa.string(),
+        p_size=pa.int64(),
+        supplier_cnt=pa.int64(),
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_size
+"""
+
+
 QUERIES = {
     # --- flagship first: the north-star extraction path must sit in
     # whatever prefix the driver gate samples ---
@@ -12740,6 +12880,7 @@ QUERIES = {
     "cust_order_dist": q_cust_order_dist,
     "small_qty_revenue": q_small_qty_revenue,
     "lang_entropy": q_lang_entropy,
+    "supplier_part_counts": q_supplier_part_counts,
     # --- round-5 batch 2 (newest, least proven — sampled prefix) ---
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -12928,6 +13069,7 @@ ORACLE_SQL = {
     "cust_order_dist": SQL_CUST_ORDER_DIST,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "lang_entropy": SQL_LANG_ENTROPY,
+    "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
     "promo_revenue": SQL_PROMO_REVENUE,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,

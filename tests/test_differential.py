@@ -627,6 +627,7 @@ RELATIONAL_QUERIES = [
     "returned_revenue",
     "cust_order_dist",
     "small_qty_revenue",
+    "supplier_part_counts",
 ]
 
 
